@@ -1,0 +1,394 @@
+"""Per-modality encoders (flax.linen), re-designed for XLA/TPU.
+
+Capability parity with the reference's encoder stack
+(``src/encoders.py:16-451``): SequenceEncoder (lstm / gru / cnn /
+transformer), FrameEncoder (attention / average / max pooling with exact
+masked semantics), SimpleMLPEncoder, and the ``build_encoder`` factory with
+the same modality-name routing rules and error messages.
+
+TPU-first divergences from the torch design:
+
+- RNNs precompute the input projection ``x @ W_ih`` for ALL timesteps as one
+  large MXU matmul, so the ``lax.scan`` recurrence only carries the
+  ``h @ W_hh`` matmul — the standard XLA-friendly RNN formulation.
+- Variable-length sequences use a carry-freeze (``h = where(t < len, h', h)``)
+  instead of packed sequences; the final carry equals the state at the last
+  valid step, matching ``pack_padded_sequence`` semantics exactly.
+- The CNN/transformer paths pool with a length mask so padded windows (an
+  artifact of real batching, which the reference's batch_size=1 path never
+  had) do not pollute the embedding.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.masked import lengths_to_mask, masked_mean_pool, masked_softmax, nan_to_num
+
+
+def _uniform(scale: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-scale, maxval=scale)
+
+    return init
+
+
+class _RNNStack(nn.Module):
+    """Multi-layer LSTM/GRU with torch gate ordering and init.
+
+    Torch parity: weights/biases ~ U(-1/sqrt(H), 1/sqrt(H)); LSTM gates
+    ordered (i, f, g, o); GRU gates ordered (r, z, n) with separate
+    input/hidden biases on the candidate gate; inter-layer dropout only when
+    ``num_layers > 1`` (reference: ``src/encoders.py:67-85``).
+    """
+
+    hidden_dim: int
+    num_layers: int
+    cell_type: str  # 'lstm' | 'gru'
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        sequence: jax.Array,  # [B, T, D]
+        lengths: Optional[jax.Array] = None,  # [B]
+        train: bool = False,
+    ) -> jax.Array:
+        batch, seq_len, _ = sequence.shape
+        hidden = self.hidden_dim
+        gates = 4 if self.cell_type == "lstm" else 3
+        scale = hidden**-0.5
+
+        if lengths is not None:
+            step_valid = (
+                jnp.arange(seq_len)[:, None] < lengths[None, :].astype(jnp.int32)
+            ).astype(sequence.dtype)  # [T, B]
+        else:
+            step_valid = None
+
+        layer_input = sequence
+        final_state = None
+        for layer in range(self.num_layers):
+            in_dim = layer_input.shape[-1]
+            w_ih = self.param(f"weight_ih_l{layer}", _uniform(scale), (in_dim, gates * hidden))
+            w_hh = self.param(f"weight_hh_l{layer}", _uniform(scale), (hidden, gates * hidden))
+            b_ih = self.param(f"bias_ih_l{layer}", _uniform(scale), (gates * hidden,))
+            b_hh = self.param(f"bias_hh_l{layer}", _uniform(scale), (gates * hidden,))
+
+            # One big [B*T, D] @ [D, G*H] matmul feeds the whole scan.
+            x_proj = (
+                jnp.einsum("btd,dg->btg", layer_input, w_ih) + b_ih
+            ).transpose(1, 0, 2)  # [T, B, G*H]
+
+            h0 = jnp.zeros((batch, hidden), layer_input.dtype)
+
+            if self.cell_type == "lstm":
+                c0 = jnp.zeros_like(h0)
+
+                def lstm_step(carry, xs):
+                    h, c = carry
+                    xp, valid = xs
+                    z = xp + h @ w_hh + b_hh
+                    i, f, g, o = jnp.split(z, 4, axis=-1)
+                    i, f, o = nn.sigmoid(i), nn.sigmoid(f), nn.sigmoid(o)
+                    g = jnp.tanh(g)
+                    c_new = f * c + i * g
+                    h_new = o * jnp.tanh(c_new)
+                    if valid is not None:
+                        keep = valid[:, None]
+                        h_new = keep * h_new + (1 - keep) * h
+                        c_new = keep * c_new + (1 - keep) * c
+                    return (h_new, c_new), h_new
+
+                xs = (x_proj, step_valid) if step_valid is not None else (x_proj, None)
+                if step_valid is None:
+                    (h_final, _), outputs = jax.lax.scan(
+                        lambda carry, xp: lstm_step(carry, (xp, None)), (h0, c0), x_proj
+                    )
+                else:
+                    (h_final, _), outputs = jax.lax.scan(lstm_step, (h0, c0), xs)
+            else:
+
+                def gru_step(carry, xs):
+                    h = carry
+                    xp, valid = xs
+                    hp = h @ w_hh + b_hh
+                    xr, xz, xn = jnp.split(xp, 3, axis=-1)
+                    hr, hz, hn = jnp.split(hp, 3, axis=-1)
+                    r = nn.sigmoid(xr + hr)
+                    z = nn.sigmoid(xz + hz)
+                    n = jnp.tanh(xn + r * hn)
+                    h_new = (1 - z) * n + z * h
+                    if valid is not None:
+                        keep = valid[:, None]
+                        h_new = keep * h_new + (1 - keep) * h
+                    return h_new, h_new
+
+                if step_valid is None:
+                    h_final, outputs = jax.lax.scan(
+                        lambda carry, xp: gru_step(carry, (xp, None)), h0, x_proj
+                    )
+                else:
+                    h_final, outputs = jax.lax.scan(gru_step, h0, (x_proj, step_valid))
+
+            final_state = h_final
+            layer_input = outputs.transpose(1, 0, 2)  # [B, T, H]
+            if self.num_layers > 1 and layer < self.num_layers - 1:
+                layer_input = nn.Dropout(self.dropout, deterministic=not train)(layer_input)
+
+        assert final_state is not None
+        return final_state  # [B, H] — last layer's final hidden state
+
+
+class _TransformerEncoderLayer(nn.Module):
+    """Post-LN transformer encoder layer (torch ``TransformerEncoderLayer``)."""
+
+    hidden_dim: int
+    num_heads: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B, T, H]
+        key_padding_mask: Optional[jax.Array] = None,  # [B, T], 1 = valid
+        train: bool = False,
+    ) -> jax.Array:
+        head_dim = self.hidden_dim // self.num_heads
+        batch, seq_len, _ = x.shape
+
+        def proj(name):
+            return nn.Dense(self.hidden_dim, name=name)
+
+        q = proj("q_proj")(x).reshape(batch, seq_len, self.num_heads, head_dim)
+        k = proj("k_proj")(x).reshape(batch, seq_len, self.num_heads, head_dim)
+        v = proj("v_proj")(x).reshape(batch, seq_len, self.num_heads, head_dim)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * head_dim**-0.5
+        mask = None
+        if key_padding_mask is not None:
+            mask = key_padding_mask[:, None, None, :]
+        weights = masked_softmax(scores, mask)
+        weights = nn.Dropout(self.dropout, deterministic=not train)(weights)
+        attended = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(
+            batch, seq_len, self.hidden_dim
+        )
+        attended = nn.Dense(self.hidden_dim, name="out_proj")(attended)
+        x = nn.LayerNorm(name="norm1")(
+            x + nn.Dropout(self.dropout, deterministic=not train)(attended)
+        )
+        ff = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        ff = nn.relu(ff)
+        ff = nn.Dropout(self.dropout, deterministic=not train)(ff)
+        ff = nn.Dense(self.hidden_dim, name="linear2")(ff)
+        x = nn.LayerNorm(name="norm2")(
+            x + nn.Dropout(self.dropout, deterministic=not train)(ff)
+        )
+        return x
+
+
+class SequenceEncoder(nn.Module):
+    """Time-series -> fixed embedding (lstm | gru | cnn | transformer).
+
+    Reference parity: ``src/encoders.py:16-208``. Raises the same error
+    strings for bad ranks / unknown encoder types.
+    """
+
+    hidden_dim: int = 256
+    output_dim: int = 128
+    num_layers: int = 2
+    encoder_type: str = "lstm"
+    dropout: float = 0.1
+
+    def _check(self):
+        if self.encoder_type not in ("lstm", "gru", "cnn", "transformer"):
+            raise ValueError(f"Unknown encoder type: {self.encoder_type}")
+
+    @nn.compact
+    def __call__(
+        self,
+        sequence: jax.Array,
+        lengths: Optional[jax.Array] = None,
+        train: bool = False,
+    ) -> jax.Array:
+        self._check()
+        if sequence.ndim != 3:
+            raise ValueError(
+                f"Expected 3D input sequence, got shape {sequence.shape}"
+            )
+        batch, seq_len, _ = sequence.shape
+        drop = nn.Dropout(self.dropout, deterministic=not train)
+
+        if self.encoder_type in ("lstm", "gru"):
+            final_state = _RNNStack(
+                hidden_dim=self.hidden_dim,
+                num_layers=self.num_layers,
+                cell_type=self.encoder_type,
+                dropout=self.dropout,
+                name="rnn",
+            )(sequence, lengths=lengths, train=train)
+            return nn.Dense(self.output_dim, name="projection")(drop(final_state))
+
+        if self.encoder_type == "cnn":
+            x = sequence
+            for idx in range(2):
+                x = nn.Conv(
+                    self.hidden_dim, kernel_size=(3,), padding="SAME", name=f"conv{idx}"
+                )(x)
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    name=f"bn{idx}",
+                )(x)
+                x = nn.relu(x)
+            mask = lengths_to_mask(lengths, seq_len) if lengths is not None else None
+            pooled = masked_mean_pool(x, mask, axis=1, min_denom=1.0)
+            return nn.Dense(self.output_dim, name="projection")(drop(pooled))
+
+        # transformer
+        x = nn.Dense(self.hidden_dim, name="input_projection")(sequence)
+        nhead = 4 if self.hidden_dim % 4 == 0 else 1
+        valid_mask = (
+            lengths_to_mask(lengths, seq_len) if lengths is not None else None
+        )
+        for idx in range(self.num_layers):
+            x = _TransformerEncoderLayer(
+                hidden_dim=self.hidden_dim,
+                num_heads=nhead,
+                dropout=self.dropout,
+                name=f"layer{idx}",
+            )(x, key_padding_mask=valid_mask, train=train)
+        pooled = masked_mean_pool(x, valid_mask, axis=1, min_denom=1.0)
+        return nn.Dense(self.output_dim, name="projection")(drop(pooled))
+
+
+class FrameEncoder(nn.Module):
+    """Frame features -> clip embedding with masked temporal pooling.
+
+    Reference parity: ``src/encoders.py:211-336`` including the
+    attention-pool's all-masked -> zero-weights contract and the max-pool's
+    ``-inf -> nan_to_num`` scrub.
+    """
+
+    hidden_dim: int = 256
+    output_dim: int = 128
+    temporal_pooling: str = "attention"
+    dropout: float = 0.1
+
+    def _check(self):
+        if self.temporal_pooling not in ("attention", "average", "max"):
+            raise ValueError(f"Unknown pooling: {self.temporal_pooling}")
+
+    @nn.compact
+    def __call__(
+        self,
+        frames: jax.Array,  # [B, T, D]
+        mask: Optional[jax.Array] = None,  # [B, T]
+        train: bool = False,
+    ) -> jax.Array:
+        self._check()
+        if frames.ndim != 3:
+            raise ValueError(f"Expected 3D frame tensor, got shape {frames.shape}")
+
+        drop = nn.Dropout(self.dropout, deterministic=not train)
+        processed = drop(nn.relu(nn.Dense(self.hidden_dim, name="frame_processor")(frames)))
+        if mask is not None:
+            mask = mask.astype(processed.dtype)
+
+        if self.temporal_pooling == "attention":
+            scores = nn.Dense(1, name="attention")(processed)  # [B, T, 1]
+            score_mask = mask[..., None] if mask is not None else None
+            weights = masked_softmax(scores, score_mask, axis=1)
+            pooled = jnp.sum(weights * processed, axis=1)
+        elif self.temporal_pooling == "average":
+            pooled = masked_mean_pool(processed, mask, axis=1, min_denom=1e-8)
+        else:  # max
+            if mask is None:
+                pooled = jnp.max(processed, axis=1)
+            else:
+                neg = jnp.where(mask[..., None] == 0, -jnp.inf, processed)
+                pooled = nan_to_num(jnp.max(neg, axis=1))
+
+        x = drop(nn.relu(nn.Dense(self.hidden_dim, name="proj_hidden")(pooled)))
+        return nn.Dense(self.output_dim, name="proj_out")(x)
+
+
+class SimpleMLPEncoder(nn.Module):
+    """MLP over pre-extracted 2D features (reference ``src/encoders.py:339-397``)."""
+
+    hidden_dim: int = 256
+    output_dim: int = 128
+    num_layers: int = 2
+    dropout: float = 0.1
+    batch_norm: bool = True
+
+    @nn.compact
+    def __call__(self, features: jax.Array, train: bool = False) -> jax.Array:
+        if features.ndim != 2:
+            raise ValueError(
+                f"Expected 2D feature tensor, got shape {features.shape}"
+            )
+        x = features
+        for idx in range(self.num_layers):
+            x = nn.Dense(self.hidden_dim, name=f"dense{idx}")(x)
+            if self.batch_norm:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    name=f"bn{idx}",
+                )(x)
+            x = nn.relu(x)
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return nn.Dense(self.output_dim, name="out")(x)
+
+
+_SEQUENCE_MODALITIES = {"imu", "audio", "mocap", "accelerometer"}
+
+
+def build_encoder(
+    modality: str,
+    input_dim: int,
+    output_dim: int,
+    encoder_config: Optional[Dict[str, Any]] = None,
+) -> nn.Module:
+    """Factory with the reference's routing rules (``src/encoders.py:400-451``).
+
+    ``input_dim`` is accepted for API parity but flax infers it from data.
+    """
+    config: Dict[str, Any] = dict(encoder_config) if encoder_config else {}
+    override_type = config.pop("type", None)
+    config.pop("input_dim", None)  # shape-inferred under flax
+    modality_key = modality.lower()
+    del input_dim
+
+    def make_frame():
+        allowed = {"hidden_dim", "temporal_pooling", "dropout"}
+        return FrameEncoder(output_dim=output_dim, **{k: v for k, v in config.items() if k in allowed})
+
+    def make_sequence():
+        allowed = {"hidden_dim", "num_layers", "encoder_type", "dropout"}
+        enc = SequenceEncoder(output_dim=output_dim, **{k: v for k, v in config.items() if k in allowed})
+        enc._check()
+        return enc
+
+    def make_mlp():
+        allowed = {"hidden_dim", "num_layers", "dropout", "batch_norm"}
+        return SimpleMLPEncoder(output_dim=output_dim, **{k: v for k, v in config.items() if k in allowed})
+
+    if override_type == "frame":
+        return make_frame()
+    if override_type == "sequence":
+        return make_sequence()
+    if override_type == "mlp":
+        return make_mlp()
+    if modality_key in ("video", "frames"):
+        return make_frame()
+    if modality_key in _SEQUENCE_MODALITIES or modality_key.startswith("imu_"):
+        return make_sequence()
+    return make_mlp()

@@ -1,0 +1,167 @@
+"""The flagship model: per-modality encoders + fusion head.
+
+Equivalent of the reference's ``MultimodalFusionModule`` model graph
+(``src/train.py:125-291``) as a pure flax module: builds one encoder per
+modality from the config (same factory routing), optional per-modality
+LayerNorm, then the configured fusion head. Training-loop concerns
+(optimizers, checkpoints, logging) live in ``..train.trainer``.
+
+Late fusion's tuple output is normalised here exactly like the reference's
+``forward`` (``src/train.py:281-291``): callers always get ``logits`` (plus
+aux info when requested).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional
+
+import jax
+from flax import linen as nn
+
+from .encoders import FrameEncoder, SequenceEncoder, SimpleMLPEncoder, build_encoder
+from .fusion import build_fusion_model
+from ..ops.masked import lengths_to_mask
+
+
+class MultimodalFusionModel(nn.Module):
+    """Encoders + optional LayerNorm + fusion head, config-driven.
+
+    Attributes:
+        modalities: ordered modality names.
+        encoder_configs: per-modality encoder config dicts (may contain
+            ``type``, ``encoder_type``, ``num_layers``, ...).
+        fusion_type: 'early' | 'late' | 'hybrid'.
+        output_dim: encoder embedding width.
+        hidden_dim / num_heads / dropout: fusion head hyperparameters.
+        num_classes: logit width (PAMAP2 uses 25 = raw activity-id space).
+        layer_norm: per-modality LayerNorm on encoder outputs.
+    """
+
+    modalities: tuple
+    encoder_configs: Any  # Mapping[str, dict]; tuple-of-pairs also accepted
+    fusion_type: str = "hybrid"
+    output_dim: int = 128
+    hidden_dim: int = 256
+    num_heads: int = 4
+    num_classes: int = 25
+    dropout: float = 0.1
+    layer_norm: bool = True
+
+    def setup(self):
+        configs = dict(self.encoder_configs)
+        self.encoders = {
+            name: build_encoder(
+                modality=name,
+                input_dim=int(dict(configs.get(name, {})).get("input_dim", 64) or 64),
+                output_dim=self.output_dim,
+                encoder_config=dict(configs.get(name, {})),
+            )
+            for name in self.modalities
+        }
+        if self.layer_norm:
+            self.layer_norms = {
+                name: nn.LayerNorm(name=f"ln_{name}") for name in self.modalities
+            }
+        self.fusion_model = build_fusion_model(
+            fusion_type=self.fusion_type,
+            modality_dims={name: self.output_dim for name in self.modalities},
+            num_classes=self.num_classes,
+            hidden_dim=self.hidden_dim,
+            num_heads=self.num_heads,
+            dropout=self.dropout,
+        )
+
+    def encode(
+        self,
+        features: Mapping[str, jax.Array],
+        lengths: Optional[jax.Array] = None,
+        train: bool = False,
+    ) -> Dict[str, jax.Array]:
+        """Run every available modality through its encoder (+LayerNorm)."""
+        encoded: Dict[str, jax.Array] = {}
+        for name in self.modalities:
+            if name not in features:
+                continue
+            encoder = self.encoders[name]
+            x = features[name]
+            if isinstance(encoder, SequenceEncoder):
+                emb = encoder(x, lengths=lengths, train=train)
+            elif isinstance(encoder, FrameEncoder):
+                frame_mask = (
+                    lengths_to_mask(lengths, x.shape[1]) if lengths is not None else None
+                )
+                emb = encoder(x, mask=frame_mask, train=train)
+            elif isinstance(encoder, SimpleMLPEncoder):
+                emb = encoder(x, train=train)
+            else:  # pragma: no cover - custom encoder plug-ins
+                emb = encoder(x, train=train)
+            if self.layer_norm:
+                emb = self.layer_norms[name](emb)
+            encoded[name] = emb
+        return encoded
+
+    def fuse(
+        self,
+        encoded: Mapping[str, jax.Array],
+        mask: Optional[jax.Array] = None,
+        train: bool = False,
+        return_attention: bool = False,
+    ):
+        """Fusion head over pre-encoded embeddings, with tuple normalisation."""
+        if return_attention:
+            if self.fusion_type != "hybrid":
+                raise ValueError(
+                    "Attention information is only available for HybridFusion."
+                )
+            output = self.fusion_model(
+                encoded, mask, train=train, return_attention=True
+            )
+        else:
+            output = self.fusion_model(encoded, mask, train=train)
+        if isinstance(output, tuple):
+            logits, aux = output[0], (output[1] if len(output) > 1 else None)
+        else:
+            logits, aux = output, None
+        if return_attention:
+            return logits, aux
+        return logits
+
+    def __call__(
+        self,
+        features: Mapping[str, jax.Array],
+        mask: Optional[jax.Array] = None,
+        lengths: Optional[jax.Array] = None,
+        train: bool = False,
+        return_attention: bool = False,
+    ):
+        encoded = self.encode(features, lengths=lengths, train=train)
+        return self.fuse(
+            encoded, mask=mask, train=train, return_attention=return_attention
+        )
+
+    @classmethod
+    def from_config(cls, config) -> "MultimodalFusionModel":
+        """Build from the YAML config tree (same keys as the reference)."""
+        model_cfg = config.model
+        dataset_cfg = config.dataset
+        modalities = tuple(dataset_cfg.modalities)
+        enc_cfgs = {}
+        all_encoder_cfg = model_cfg.get("encoders", {}) or {}
+        for name in modalities:
+            raw = all_encoder_cfg.get(name, {}) or {}
+            cfg = dict(raw.items()) if hasattr(raw, "items") else dict(raw)
+            cfg.setdefault("dropout", float(model_cfg.get("dropout", 0.1)))
+            if "hidden_dim" not in cfg:
+                cfg["hidden_dim"] = int(model_cfg.get("hidden_dim", 256))
+            enc_cfgs[name] = cfg
+        return cls(
+            modalities=modalities,
+            encoder_configs=tuple(sorted((k, tuple(sorted(v.items()))) for k, v in enc_cfgs.items())),
+            fusion_type=str(model_cfg.get("fusion_type", "hybrid")),
+            output_dim=int(model_cfg.get("output_dim", 128)),
+            hidden_dim=int(model_cfg.get("hidden_dim", 256)),
+            num_heads=int(model_cfg.get("num_heads", 4)),
+            num_classes=int(dataset_cfg.get("num_classes", 11)),
+            dropout=float(model_cfg.get("dropout", 0.1)),
+            layer_norm=bool(model_cfg.get("layer_norm", False)),
+        )

@@ -1,0 +1,75 @@
+"""Masking primitives with the reference's exact fallback semantics.
+
+The reference relies on a specific masked-softmax contract throughout its
+attention and fusion stack (reference: ``src/attention.py:120-129``,
+``src/fusion.py:464-479``): masked positions get ``-inf`` scores, softmax is
+taken, and a fully-masked row — which produces NaN — is scrubbed to exactly
+zero via ``nan_to_num``. Tests in the reference pin these values down, so the
+TPU rebuild centralises them here. Everything is branch-free and jit-safe.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float("-inf")
+
+
+def nan_to_num(x: jax.Array) -> jax.Array:
+    """``torch.nan_to_num(x, nan=0, posinf=0, neginf=0)`` equivalent."""
+    zeros = jnp.zeros_like(x)
+    x = jnp.where(jnp.isnan(x), zeros, x)
+    x = jnp.where(jnp.isinf(x), zeros, x)
+    return x
+
+
+def masked_softmax(
+    scores: jax.Array,
+    mask: Optional[jax.Array] = None,
+    axis: int = -1,
+) -> jax.Array:
+    """Softmax with all-masked rows collapsing to exactly zero.
+
+    ``mask`` broadcasts against ``scores``; positions where ``mask == 0`` are
+    excluded. A row whose keys are all masked yields all-zero weights (the
+    reference's softmax(-inf) -> NaN -> nan_to_num(0) path).
+    """
+    if mask is not None:
+        scores = jnp.where(mask == 0, NEG_INF, scores)
+    # Max-subtracted softmax; guard the all--inf row explicitly instead of
+    # relying on NaN propagation (XLA folds 'inf - inf' differently per
+    # backend, so we make the zero-row contract explicit).
+    row_max = jnp.max(scores, axis=axis, keepdims=True)
+    safe_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+    unnorm = jnp.exp(scores - safe_max)
+    unnorm = jnp.where(jnp.isfinite(scores), unnorm, 0.0)
+    denom = jnp.sum(unnorm, axis=axis, keepdims=True)
+    return jnp.where(denom > 0, unnorm / jnp.where(denom > 0, denom, 1.0), 0.0)
+
+
+def masked_mean_pool(
+    x: jax.Array,
+    mask: Optional[jax.Array] = None,
+    axis: int = 1,
+    min_denom: float = 1.0,
+) -> jax.Array:
+    """Mean over ``axis`` restricted to positions where ``mask != 0``.
+
+    Matches the reference transformer pooling (``src/encoders.py:196-203``):
+    denominator clamped to ``min_denom`` so empty masks divide by 1, not 0.
+    """
+    if mask is None:
+        return jnp.mean(x, axis=axis)
+    mask = jnp.expand_dims(mask.astype(x.dtype), -1)
+    total = jnp.sum(x * mask, axis=axis)
+    denom = jnp.clip(jnp.sum(mask, axis=axis), min_denom, None)
+    return total / denom
+
+
+def lengths_to_mask(lengths: jax.Array, seq_len: int) -> jax.Array:
+    """``[B]`` int lengths -> ``[B, T]`` float {0,1} validity mask."""
+    positions = jnp.arange(seq_len)[None, :]
+    return (positions < lengths[:, None]).astype(jnp.float32)
