@@ -1,0 +1,66 @@
+"""Device-resident data: the TPU-native replacement for DataLoader workers.
+
+The reference hides storage latency with DataLoader worker processes and
+shard caches (``src/data.py:244-261``, ``:536-589``). On TPU the entire
+windowed PAMAP2 dataset is ~tens of MB — it fits in HBM outright. So the
+pipeline here is: materialise windows once on the host (``dataset.py``),
+``device_put`` the dense arrays ONCE, and make every training batch a
+device-side ``take`` inside the jitted step. Host<->device traffic per step
+is a single ``[B]`` int32 index vector.
+
+For multi-chip data parallelism the arrays are replicated (every host/chip
+holds the full split) and the *gathered batch* is sharded along its batch
+axis by the step function's output sharding — collectives stay on ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .dataset import WindowedSplit
+
+
+class DeviceSplit(struct.PyTreeNode):
+    """A :class:`WindowedSplit` resident on device (a jit-friendly pytree)."""
+
+    features: Dict[str, jax.Array]  # {mod: [N, T, D]}
+    labels: jax.Array  # [N] int32
+    lengths: jax.Array  # [N] int32
+    modalities: tuple = struct.field(pytree_node=False)
+
+    @property
+    def num_windows(self) -> int:
+        return int(self.labels.shape[0])
+
+    def gather(self, idx: jax.Array):
+        """Device-side batch gather — call inside ``jit``."""
+        features = {m: jnp.take(self.features[m], idx, axis=0) for m in self.modalities}
+        labels = jnp.take(self.labels, idx, axis=0)
+        lengths = jnp.take(self.lengths, idx, axis=0)
+        return features, labels, lengths
+
+
+def device_put_split(
+    windows: WindowedSplit,
+    sharding: Optional[jax.sharding.Sharding] = None,
+    dtype=jnp.float32,
+) -> DeviceSplit:
+    """Push a windowed split to device (optionally with an explicit sharding)."""
+
+    def put(x):
+        arr = jnp.asarray(x, dtype=dtype if np.issubdtype(x.dtype, np.floating) else None)
+        if sharding is not None:
+            arr = jax.device_put(arr, sharding)
+        return arr
+
+    return DeviceSplit(
+        features={m: put(windows.features[m]) for m in windows.modalities},
+        labels=jnp.asarray(windows.labels, dtype=jnp.int32),
+        lengths=jnp.asarray(windows.lengths, dtype=jnp.int32),
+        modalities=tuple(windows.modalities),
+    )

@@ -1,0 +1,131 @@
+"""Self-contained checkpoints: params + batch_stats + config, top-k managed.
+
+The reference leans on Lightning's ``ModelCheckpoint`` (monitor ``val/loss``,
+``save_top_k=3``, ``save_last=True``) and embeds hyperparameters in the ckpt
+so ``load_from_checkpoint`` can rebuild the model from the file alone
+(reference: ``src/train.py:491-498``, ``src/eval.py:510``). This module is
+the Orbax equivalent: every checkpoint directory bundles the resolved config
+JSON next to the model variables, and :func:`load_checkpoint` reconstructs
+``(model, variables, config)`` with no external state.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ..utils.config import ConfigNode
+
+
+def _save_variables(path: Path, variables: Dict[str, Any]) -> None:
+    with ocp.PyTreeCheckpointer() as checkpointer:
+        checkpointer.save(path.resolve() / "variables", variables, force=True)
+
+
+def _restore_variables(path: Path) -> Dict[str, Any]:
+    with ocp.PyTreeCheckpointer() as checkpointer:
+        return checkpointer.restore((path / "variables").resolve())
+
+
+class CheckpointManager:
+    """Top-k checkpointing keyed on a monitored metric (lower is better)."""
+
+    def __init__(
+        self,
+        directory: str | Path,
+        config: Optional[ConfigNode] = None,
+        save_top_k: int = 3,
+        save_last: bool = True,
+    ):
+        self.directory = Path(directory)
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.config = config
+        self.save_top_k = save_top_k
+        self.save_last = save_last
+        self._entries: List[Tuple[float, Path]] = []  # (score, path)
+
+    @property
+    def best_model_path(self) -> Optional[str]:
+        if not self._entries:
+            return None
+        return str(min(self._entries, key=lambda e: e[0])[1])
+
+    @property
+    def best_model_score(self) -> Optional[float]:
+        if not self._entries:
+            return None
+        return float(min(self._entries, key=lambda e: e[0])[0])
+
+    def _write(self, path: Path, variables: Dict[str, Any], meta: Dict[str, Any]) -> None:
+        if path.exists():
+            shutil.rmtree(path)
+        path.mkdir(parents=True, exist_ok=True)
+        host_vars = jax.tree_util.tree_map(np.asarray, variables)
+        _save_variables(path, host_vars)
+        payload = dict(meta)
+        if self.config is not None:
+            payload["config"] = self.config.to_container(resolve=True)
+        (path / "meta.json").write_text(json.dumps(payload, indent=2))
+
+    def save(
+        self,
+        variables: Dict[str, Any],
+        epoch: int,
+        score: float,
+        extra_meta: Optional[Dict[str, Any]] = None,
+    ) -> Optional[str]:
+        """Save if within top-k; also refresh ``last``. Returns saved path."""
+        meta = {"epoch": int(epoch), "val_loss": float(score)}
+        if extra_meta:
+            meta.update(extra_meta)
+        saved_path: Optional[str] = None
+
+        if self.save_top_k != 0:
+            name = f"epoch={epoch}-val_loss={score:.4f}"
+            path = self.directory / name
+            worst = max(self._entries, key=lambda e: e[0])[0] if self._entries else None
+            if (
+                self.save_top_k < 0
+                or len(self._entries) < self.save_top_k
+                or (worst is not None and score < worst)
+            ):
+                self._write(path, variables, meta)
+                self._entries.append((float(score), path))
+                saved_path = str(path)
+                while self.save_top_k > 0 and len(self._entries) > self.save_top_k:
+                    worst_entry = max(self._entries, key=lambda e: e[0])
+                    self._entries.remove(worst_entry)
+                    if worst_entry[1].exists():
+                        shutil.rmtree(worst_entry[1])
+
+        if self.save_last:
+            self._write(self.directory / "last", variables, meta)
+        return saved_path
+
+
+def load_checkpoint(path: str | Path):
+    """Restore ``(variables, config)`` from a checkpoint directory.
+
+    The returned config is a :class:`ConfigNode` rebuilt from the bundled
+    resolved JSON — enough to reconstruct the model via
+    ``MultimodalFusionModel.from_config`` (reference's
+    ``load_from_checkpoint`` contract, ``src/eval.py:510-515``).
+    """
+    path = Path(path)
+    if not path.exists():
+        raise FileNotFoundError(f"Checkpoint not found: {path}")
+    variables = _restore_variables(path)
+    meta_path = path / "meta.json"
+    config = None
+    meta: Dict[str, Any] = {}
+    if meta_path.exists():
+        meta = json.loads(meta_path.read_text())
+        if "config" in meta:
+            config = ConfigNode(meta["config"])
+    return variables, config, meta
