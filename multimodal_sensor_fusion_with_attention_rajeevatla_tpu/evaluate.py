@@ -1,0 +1,476 @@
+"""Evaluation: metrics, latency, missing-modality robustness, attention viz.
+
+Capability parity with the reference evaluator (``src/eval.py``):
+
+- ``evaluate_model`` — accuracy / macro-F1 / loss / num_samples, optional
+  (preds, labels, confidences[, logits]) tuple (``:39-130``).
+- ``measure_inference_latency`` — per-sample ms mean/std (``:166-228``),
+  measured on the jitted forward with ``block_until_ready``.
+- ``evaluate_missing_modalities`` — all ``2^M - 1`` modality subsets
+  (``:312-458``). TPU-first redesign: instead of 2^M - 1 separate dataset
+  passes, each batch is encoded exactly TWICE (real inputs and zeroed
+  inputs); the cheap fusion head is then ``vmap``-ed over every subset mask
+  in one compiled program. ``encoder(zeros) == encoder(zeroed features)``
+  makes this exactly equivalent to the reference's zero-out-and-re-run loop.
+- ``generate_attention_visualization`` — hybrid-only M x M heatmap
+  (``:231-309``).
+- ``run_evaluation`` — the eval CLI body: loads a self-contained checkpoint,
+  writes ``evaluation_results.json`` / ``uncertainty.json`` /
+  ``missing_modality.json`` with the reference's exact key schema
+  (``:598-656``).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data.dataset import WindowedSplit, create_datasets
+from .data.device import DeviceSplit, device_put_split
+from .models.module import MultimodalFusionModel
+from .ops.metrics import cross_entropy_loss, macro_f1
+from .uncertainty import CalibrationMetrics
+
+
+def _index_matrix(n: int, batch_size: int) -> Tuple[np.ndarray, int]:
+    steps = (n + batch_size - 1) // batch_size
+    idx = np.concatenate([np.arange(n), np.zeros(steps * batch_size - n, np.int64)])
+    return idx.reshape(steps, batch_size).astype(np.int32), steps
+
+
+def forward_all(
+    model: MultimodalFusionModel,
+    variables: Dict[str, Any],
+    data: DeviceSplit,
+    batch_size: int = 32,
+) -> np.ndarray:
+    """Jitted full-split forward -> ``[N, C]`` logits."""
+    n = data.num_windows
+    idx_mat, _ = _index_matrix(n, batch_size)
+
+    @jax.jit
+    def run(variables, data, idx_mat):
+        def body(_, idx):
+            features, labels, lengths = data.gather(idx)
+            mask = jnp.ones((idx.shape[0], len(data.modalities)), jnp.float32)
+            return _, model.apply(variables, features, mask, lengths, train=False)
+
+        _, logits = jax.lax.scan(body, None, idx_mat)
+        return logits
+
+    logits = run(variables, data, jnp.asarray(idx_mat))
+    return np.asarray(logits).reshape(-1, logits.shape[-1])[:n]
+
+
+def evaluate_model(
+    model: MultimodalFusionModel,
+    variables: Dict[str, Any],
+    windows: WindowedSplit | DeviceSplit,
+    batch_size: int = 32,
+    return_predictions: bool = False,
+    include_logits: bool = False,
+):
+    """Standard evaluation (reference ``src/eval.py:39-130``)."""
+    data = windows if isinstance(windows, DeviceSplit) else device_put_split(windows)
+    logits = forward_all(model, variables, data, batch_size)
+    labels = np.asarray(data.labels)
+
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    confidences = probs.max(axis=-1)
+    preds = probs.argmax(axis=-1)
+    loss = float(cross_entropy_loss(jnp.asarray(logits), jnp.asarray(labels)))
+    metrics = {
+        "accuracy": float((preds == labels).mean()),
+        "f1_macro": macro_f1(labels, preds),
+        "loss": loss,
+        "num_samples": int(labels.shape[0]),
+    }
+    if return_predictions:
+        out: Tuple[np.ndarray, ...] = (preds, labels, confidences)
+        if include_logits:
+            out = (*out, logits)
+        return metrics, out
+    return metrics
+
+
+def measure_inference_latency(
+    model: MultimodalFusionModel,
+    variables: Dict[str, Any],
+    windows: WindowedSplit | DeviceSplit,
+    batch_size: int = 32,
+    max_batches: int = 50,
+    warmup: int = 3,
+) -> Tuple[float, float]:
+    """Per-sample latency (ms) mean/std of the jitted forward.
+
+    Unlike the reference's eager wall-clock loop, timing here brackets
+    ``block_until_ready`` on a pre-compiled program, so it measures steady-
+    state device latency (what serving sees), not tracing overhead.
+    """
+    data = windows if isinstance(windows, DeviceSplit) else device_put_split(windows)
+    n = data.num_windows
+    idx_mat, steps = _index_matrix(n, batch_size)
+    steps = min(steps, max_batches)
+
+    @jax.jit
+    def forward(variables, data, idx):
+        features, labels, lengths = data.gather(idx)
+        mask = jnp.ones((idx.shape[0], len(data.modalities)), jnp.float32)
+        return model.apply(variables, features, mask, lengths, train=False)
+
+    idx0 = jnp.asarray(idx_mat[0])
+    for _ in range(warmup):
+        forward(variables, data, idx0).block_until_ready()
+
+    per_sample_ms: List[float] = []
+    for s in range(steps):
+        idx = jnp.asarray(idx_mat[s])
+        t0 = time.perf_counter()
+        forward(variables, data, idx).block_until_ready()
+        elapsed = time.perf_counter() - t0
+        per_sample_ms.append(elapsed / batch_size * 1000.0)
+    if not per_sample_ms:
+        return 0.0, 0.0
+    arr = np.asarray(per_sample_ms)
+    return float(arr.mean()), float(arr.std(ddof=0))
+
+
+# ---------------------------------------------------------------------------
+# missing-modality robustness
+# ---------------------------------------------------------------------------
+
+def _subset_masks(num_modalities: int) -> Tuple[np.ndarray, List[Tuple[int, ...]]]:
+    """All non-empty subsets, ordered by size then lexicographic (reference
+    iteration order, ``src/eval.py:342-349``)."""
+    combos: List[Tuple[int, ...]] = []
+    for size in range(1, num_modalities + 1):
+        combos.extend(itertools.combinations(range(num_modalities), size))
+    masks = np.zeros((len(combos), num_modalities), np.float32)
+    for i, combo in enumerate(combos):
+        masks[i, list(combo)] = 1.0
+    return masks, combos
+
+
+def predict_all_subsets(
+    model: MultimodalFusionModel,
+    variables: Dict[str, Any],
+    data: DeviceSplit,
+    batch_size: int = 32,
+) -> Tuple[np.ndarray, List[Tuple[int, ...]]]:
+    """Predictions under every modality subset: ``[S, N]`` class ids.
+
+    One compiled program: per batch the encoders run twice (real + zero
+    input), then the fusion head is vmapped across all subset masks.
+    """
+    num_mod = len(data.modalities)
+    masks_np, combos = _subset_masks(num_mod)
+    masks = jnp.asarray(masks_np)  # [S, M]
+    n = data.num_windows
+    idx_mat, _ = _index_matrix(n, batch_size)
+
+    @jax.jit
+    def run(variables, data, idx_mat, masks):
+        def body(_, idx):
+            features, labels, lengths = data.gather(idx)
+            batch = idx.shape[0]
+            zeros = {m: jnp.zeros_like(v) for m, v in features.items()}
+            enc_real = model.apply(
+                variables, features, lengths, method=MultimodalFusionModel.encode
+            )
+            enc_zero = model.apply(
+                variables, zeros, lengths, method=MultimodalFusionModel.encode
+            )
+
+            def fuse_one(mask_row):
+                enc = {
+                    m: jnp.where(mask_row[i] > 0, enc_real[m], enc_zero[m])
+                    for i, m in enumerate(data.modalities)
+                }
+                mask_b = jnp.tile(mask_row[None, :], (batch, 1))
+                return model.apply(
+                    variables, enc, mask_b, method=MultimodalFusionModel.fuse
+                )
+
+            logits = jax.vmap(fuse_one)(masks)  # [S, B, C]
+            return _, jnp.argmax(logits, axis=-1)
+
+        _, preds = jax.lax.scan(body, None, idx_mat)  # [steps, S, B]
+        return preds
+
+    preds = np.asarray(run(variables, data, jnp.asarray(idx_mat), masks))
+    preds = preds.transpose(1, 0, 2).reshape(len(combos), -1)[:, :n]  # [S, N]
+    return preds, combos
+
+
+def _compute_modality_importance(
+    results: Dict[str, Any], modality_names: Sequence[str]
+) -> Dict[str, float]:
+    """Importance = mean(acc with modality) - mean(acc without), abs-normalised
+    (reference ``src/eval.py:427-458``)."""
+    importance: Dict[str, float] = {}
+    for modality in modality_names:
+        with_scores, without_scores = [], []
+        for combo_name, metrics in results["all_combinations"].items():
+            if modality in combo_name.split("+"):
+                with_scores.append(metrics["accuracy"])
+            else:
+                without_scores.append(metrics["accuracy"])
+        if with_scores and without_scores:
+            importance[modality] = float(
+                np.mean(with_scores) - np.mean(without_scores)
+            )
+        else:
+            importance[modality] = 0.0
+    total = sum(abs(v) for v in importance.values())
+    if total > 0:
+        importance = {k: v / total for k, v in importance.items()}
+    return importance
+
+
+def evaluate_missing_modalities(
+    model: MultimodalFusionModel,
+    variables: Dict[str, Any],
+    windows: WindowedSplit | DeviceSplit,
+    modality_names: Sequence[str],
+    batch_size: int = 32,
+) -> Dict[str, Any]:
+    """Robustness over all ``2^M - 1`` modality subsets (one device pass)."""
+    data = windows if isinstance(windows, DeviceSplit) else device_put_split(windows)
+    labels = np.asarray(data.labels)
+    preds, combos = predict_all_subsets(model, variables, data, batch_size)
+
+    results: Dict[str, Any] = {
+        "full_modalities": {},
+        "single_modalities": {},
+        "all_combinations": {},
+    }
+    num_mod = len(modality_names)
+    for subset_preds, combo in zip(preds, combos):
+        subset_names = [modality_names[i] for i in combo]
+        subset_name = "+".join(subset_names)
+        metrics = {
+            "accuracy": float((subset_preds == labels).mean()),
+            "f1_macro": macro_f1(labels, subset_preds),
+        }
+        results["all_combinations"][subset_name] = metrics
+        if len(combo) == 1:
+            results["single_modalities"][subset_names[0]] = metrics
+        if len(combo) == num_mod:
+            results["full_modalities"] = metrics
+
+    results["modality_importance"] = _compute_modality_importance(
+        results, modality_names
+    )
+    return results
+
+
+# ---------------------------------------------------------------------------
+# attention visualisation
+# ---------------------------------------------------------------------------
+
+def generate_attention_visualization(
+    model: MultimodalFusionModel,
+    variables: Dict[str, Any],
+    windows: WindowedSplit | DeviceSplit,
+    modality_names: Sequence[str],
+    save_path: Path | str,
+    batch_size: int = 32,
+) -> Optional[Path]:
+    """Hybrid-only M x M mean-attention heatmap (reference ``:231-309``)."""
+    if not modality_names:
+        return None
+    if model.fusion_type != "hybrid":
+        return None
+    data = windows if isinstance(windows, DeviceSplit) else device_put_split(windows)
+    n = min(batch_size, data.num_windows)
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    @jax.jit
+    def run(variables, data, idx):
+        features, labels, lengths = data.gather(idx)
+        mask = jnp.ones((idx.shape[0], len(data.modalities)), jnp.float32)
+        return model.apply(
+            variables, features, mask, lengths, train=False, return_attention=True
+        )
+
+    try:
+        _, attention_info = run(variables, data, idx)
+    except (ValueError, TypeError):
+        return None
+    attention_maps = attention_info.get("attention_maps", {})
+    if not attention_maps:
+        return None
+
+    num_mod = len(modality_names)
+    matrix = np.zeros((num_mod, num_mod), np.float32)
+    counts = np.zeros_like(matrix)
+    for key, weights in attention_maps.items():
+        if "_to_" not in key:
+            continue
+        q_mod, k_mod = key.split("_to_", 1)
+        if q_mod not in modality_names or k_mod not in modality_names:
+            continue
+        qi = list(modality_names).index(q_mod)
+        ki = list(modality_names).index(k_mod)
+        matrix[qi, ki] += float(np.asarray(weights).mean())
+        counts[qi, ki] += 1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        matrix = np.divide(
+            matrix,
+            np.where(counts == 0, 1.0, counts),
+            out=np.zeros_like(matrix),
+            where=counts != 0,
+        )
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 5))
+    im = ax.imshow(matrix, cmap="magma", aspect="equal")
+    ax.set_xticks(range(num_mod))
+    ax.set_yticks(range(num_mod))
+    ax.set_xticklabels(modality_names, rotation=45, ha="right")
+    ax.set_yticklabels(modality_names)
+    ax.set_xlabel("Key Modality")
+    ax.set_ylabel("Query Modality")
+    ax.set_title("Cross-Modal Attention Heatmap")
+    fig.colorbar(im, ax=ax, shrink=0.8)
+    save_path = Path(save_path)
+    save_path.parent.mkdir(parents=True, exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=300)
+    plt.close(fig)
+    return save_path
+
+
+# ---------------------------------------------------------------------------
+# eval CLI body
+# ---------------------------------------------------------------------------
+
+def save_results_json(results: Dict[str, Any], output_path: str | Path) -> None:
+    output_path = Path(output_path)
+    output_path.parent.mkdir(parents=True, exist_ok=True)
+    output_path.write_text(json.dumps(results, indent=2))
+    print(f"Results saved to: {output_path}")
+
+
+def run_evaluation(
+    checkpoint: str,
+    config_path: str = "config/base.yaml",
+    output_dir: str = "experiments",
+    analysis_dir: str = "analysis",
+    missing_modality_test: bool = False,
+) -> Dict[str, Any]:
+    """Full evaluation pipeline writing the reference's JSON artifacts."""
+    from .train.checkpoint import load_checkpoint
+    from .utils.config import load_config
+
+    print(f"Loading model from: {checkpoint}")
+    variables, config, _meta = load_checkpoint(checkpoint)
+    if config is None:
+        config = load_config(config_path)
+    model = MultimodalFusionModel.from_config(config)
+
+    print("Creating dataloaders...")
+    from .cli import _dataset_kwargs
+
+    _train_w, _val_w, test_w = create_datasets(**_dataset_kwargs(config))
+    test_data = device_put_split(test_w)
+    batch_size = int(config.dataset.get("batch_size", 32))
+
+    print("\n" + "=" * 80)
+    print("Standard Evaluation")
+    print("=" * 80)
+    metrics, (preds, labels, confidences, logits) = evaluate_model(
+        model, variables, test_data, batch_size,
+        return_predictions=True, include_logits=True,
+    )
+    print(f"\nTest Accuracy: {metrics['accuracy']:.4f}")
+    print(f"Test F1 (macro): {metrics['f1_macro']:.4f}")
+    print(f"Test Loss: {metrics['loss']:.4f}")
+
+    print("\nComputing calibration metrics...")
+    eval_cfg = config.get("evaluation", {}) or {}
+    num_bins = int(eval_cfg.get("num_calibration_bins", 15))
+    ece = CalibrationMetrics.expected_calibration_error(confidences, preds, labels, num_bins)
+    mce = CalibrationMetrics.maximum_calibration_error(confidences, preds, labels, num_bins)
+    nll = CalibrationMetrics.negative_log_likelihood(logits, labels)
+    print(f"ECE: {ece:.4f}\nMCE: {mce:.4f}\nNLL: {nll:.4f}")
+
+    fusion_type = str(config.model.fusion_type)
+    analysis_root = Path(analysis_dir) / fusion_type
+    analysis_root.mkdir(parents=True, exist_ok=True)
+    calibration_plot = analysis_root / "calibration.png"
+    CalibrationMetrics.reliability_diagram(
+        confidences, preds, labels, num_bins=num_bins, save_path=calibration_plot
+    )
+
+    attention_plot = None
+    if fusion_type == "hybrid":
+        attention_plot = generate_attention_visualization(
+            model, variables, test_data, list(config.dataset.modalities),
+            analysis_root / "attention_viz.png", batch_size,
+        )
+        if attention_plot is not None:
+            print(f"Attention visualization saved to: {attention_plot}")
+
+    print("\nMeasuring inference latency...")
+    latency_mean_ms, latency_std_ms = measure_inference_latency(
+        model, variables, test_data, batch_size
+    )
+    print(f"Per-sample inference time: {latency_mean_ms:.3f} ± {latency_std_ms:.3f} ms")
+
+    standard_results: Dict[str, Any] = {
+        "dataset": str(config.dataset.name),
+        "fusion_type": fusion_type,
+        "test_accuracy": metrics["accuracy"],
+        "test_f1_macro": metrics["f1_macro"],
+        "test_loss": metrics["loss"],
+        "ece": ece,
+        "mce": mce,
+        "nll": nll,
+        "inference_ms_mean": latency_mean_ms,
+        "inference_ms_std": latency_std_ms,
+    }
+    if attention_plot is not None:
+        standard_results["attention_plot"] = str(attention_plot)
+
+    if missing_modality_test:
+        print("\n" + "=" * 80)
+        print("Missing Modality Robustness Test")
+        print("=" * 80)
+        missing_results = evaluate_missing_modalities(
+            model, variables, test_data, list(config.dataset.modalities), batch_size
+        )
+        print(f"\nFull modalities: {missing_results['full_modalities']['accuracy']:.4f}")
+        print("\nSingle modality performance:")
+        for modality, m in missing_results["single_modalities"].items():
+            print(f"  {modality}: {m['accuracy']:.4f}")
+        print("\nModality importance scores:")
+        for modality, score in missing_results["modality_importance"].items():
+            print(f"  {modality}: {score:.4f}")
+        save_results_json(missing_results, Path(output_dir) / "missing_modality.json")
+
+    save_results_json(standard_results, Path(output_dir) / "evaluation_results.json")
+
+    uncertainty_results = {
+        "dataset": str(config.dataset.name),
+        "fusion_type": fusion_type,
+        "ece": ece,
+        "mce": mce,
+        "nll": nll,
+        "num_bins": num_bins,
+        "calibration_plot": str(calibration_plot),
+    }
+    save_results_json(uncertainty_results, Path(output_dir) / "uncertainty.json")
+    print("\nEvaluation complete!")
+    return standard_results

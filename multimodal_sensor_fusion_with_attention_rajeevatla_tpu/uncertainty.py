@@ -1,0 +1,314 @@
+"""Uncertainty quantification: MC dropout, calibration, temperature scaling.
+
+Capability parity with the reference (``src/uncertainty.py``):
+
+- ``CalibrationMetrics`` — ECE / MCE / NLL with the same equal-width,
+  right-closed-last-bin binning, plus the reliability diagram plot
+  (``:74-283``).
+- ``mc_dropout`` — epistemic uncertainty via stochastic forward passes; the
+  TPU-first version draws all ``num_samples`` passes with ``jax.vmap`` over
+  dropout PRNG keys instead of a Python loop (``:19-71``).
+- ``uncertainty_weighted_fusion`` — inverse-uncertainty weights with the
+  masked renormalisation + uniform fallback (``:286-362``).
+- ``TemperatureScaling`` — single-T post-hoc calibration minimising val NLL
+  (L-BFGS via scipy over a jax value-and-grad), T clamped >= 1e-3
+  (``:365-438``).
+- ``EnsembleUncertainty`` — mean/variance over ensemble probabilities
+  (``:441-492``).
+- ``compute_calibration_metrics`` — sweep helper (``:495-553``).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Mapping, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.metrics import (
+    expected_calibration_error,
+    maximum_calibration_error,
+    negative_log_likelihood,
+)
+
+
+class CalibrationMetrics:
+    """Calibration metric suite (static methods, reference-compatible API)."""
+
+    expected_calibration_error = staticmethod(expected_calibration_error)
+    maximum_calibration_error = staticmethod(maximum_calibration_error)
+    negative_log_likelihood = staticmethod(negative_log_likelihood)
+
+    @staticmethod
+    def reliability_diagram(
+        confidences: np.ndarray,
+        predictions: np.ndarray,
+        labels: np.ndarray,
+        num_bins: int = 15,
+        save_path: Path | str | None = None,
+    ) -> None:
+        """Accuracy-vs-confidence bar diagram with inline ECE annotation."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        confidences = np.asarray(confidences)
+        predictions = np.asarray(predictions)
+        labels = np.asarray(labels)
+
+        bin_edges = np.linspace(0.0, 1.0, num_bins + 1)
+        centers = (bin_edges[:-1] + bin_edges[1:]) / 2
+        bin_ids = np.clip(
+            np.floor(confidences * num_bins).astype(np.int64), 0, num_bins - 1
+        )
+        accuracies = np.zeros(num_bins)
+        counts = np.bincount(bin_ids, minlength=num_bins)
+        correct = (predictions == labels).astype(np.float64)
+        acc_sums = np.bincount(bin_ids, weights=correct, minlength=num_bins)
+        nz = counts > 0
+        accuracies[nz] = acc_sums[nz] / counts[nz]
+
+        fig, ax = plt.subplots(figsize=(6, 5))
+        ax.bar(
+            centers,
+            accuracies,
+            width=1.0 / num_bins,
+            alpha=0.7,
+            edgecolor="black",
+            label="Accuracy",
+        )
+        ax.plot([0, 1], [0, 1], "--", color="gray", label="Perfect Calibration")
+        ax.set_xlim(0, 1)
+        ax.set_ylim(0, 1)
+        ax.set_xlabel("Confidence")
+        ax.set_ylabel("Accuracy")
+        ax.set_title("Reliability Diagram")
+        ece = expected_calibration_error(confidences, predictions, labels, num_bins)
+        ax.text(
+            0.02, 0.95, f"ECE: {ece:.3f}", transform=ax.transAxes,
+            fontsize=10, verticalalignment="top",
+        )
+        ax.legend(loc="lower right")
+        plt.tight_layout()
+        if save_path is not None:
+            out = Path(save_path)
+            out.parent.mkdir(parents=True, exist_ok=True)
+            fig.savefig(out, dpi=300, bbox_inches="tight")
+            plt.close(fig)
+        else:
+            plt.show()
+
+
+def mc_dropout(
+    apply_fn: Callable[..., jax.Array],
+    num_samples: int,
+    rng: jax.Array,
+) -> Callable[..., Tuple[jax.Array, jax.Array]]:
+    """Wrap a dropout-bearing apply fn into an MC-dropout predictor.
+
+    ``apply_fn(rng, *args) -> logits`` is vmapped over ``num_samples`` PRNG
+    keys in ONE compiled program (the reference loops ``num_samples`` eager
+    passes). Returns ``(mean_logits, variance)`` where variance is the mean
+    class-probability variance across samples.
+    """
+    keys = jax.random.split(rng, num_samples)
+
+    def predict(*args):
+        logits = jax.vmap(lambda k: apply_fn(k, *args))(keys)  # [S, B, C]
+        probs = jax.nn.softmax(logits, axis=-1)
+        mean_logits = jnp.mean(logits, axis=0)
+        variance = jnp.mean(jnp.var(probs, axis=0, ddof=0), axis=-1)
+        return mean_logits, variance
+
+    return predict
+
+
+class MCDropoutUncertainty:
+    """Object-style wrapper mirroring the reference class (``:19-71``)."""
+
+    def __init__(self, model, variables, num_samples: int = 10, seed: int = 0):
+        self.model = model
+        self.variables = variables
+        self.num_samples = num_samples
+        self.seed = seed
+
+    def __call__(self, features, mask=None, lengths=None):
+        def apply_fn(key, feats, msk, lens):
+            return self.model.apply(
+                self.variables, feats, msk, lens, train=True,
+                rngs={"dropout": key},
+                mutable=False,
+            )
+
+        predictor = mc_dropout(
+            apply_fn, self.num_samples, jax.random.PRNGKey(self.seed)
+        )
+        return predictor(features, mask, lengths)
+
+
+def uncertainty_weighted_fusion(
+    modality_predictions: Mapping[str, jax.Array],
+    modality_uncertainties: Mapping[str, jax.Array],
+    modality_mask: jax.Array,
+    epsilon: float = 1e-6,
+) -> Tuple[jax.Array, jax.Array]:
+    """Inverse-uncertainty weighted logit fusion (reference ``:286-362``).
+
+    Weights ~ ``mask / (uncertainty + eps)`` renormalised per-sample; rows
+    with zero total weight fall back to mask-proportional weights, or uniform
+    when the mask itself is all-zero.
+    """
+    names = list(modality_predictions.keys())
+    if not names:
+        raise ValueError("No modality predictions supplied for fusion.")
+    num_mod = len(names)
+    mask = jnp.asarray(modality_mask, jnp.float32)
+
+    logits_stack = []
+    weight_list = []
+    for name in names:
+        if name not in modality_uncertainties:
+            raise KeyError(f"Missing uncertainty for modality '{name}'.")
+        logits_stack.append(modality_predictions[name][:, None, :])
+        weight_list.append(1.0 / (modality_uncertainties[name][:, None] + epsilon))
+    logits_tensor = jnp.concatenate(logits_stack, axis=1)  # (B, M, C)
+    raw_weights = jnp.concatenate(weight_list, axis=1)  # (B, M)
+    weighted = raw_weights * mask
+
+    weight_sums = jnp.sum(weighted, axis=1, keepdims=True)
+    mask_sum = jnp.sum(mask, axis=1, keepdims=True)
+    fallback = jnp.where(
+        mask_sum > 0, mask / (mask_sum + 1e-8), jnp.full_like(mask, 1.0 / num_mod)
+    )
+    fusion_weights = jnp.where(
+        weight_sums > 0, weighted / (weight_sums + 1e-8), fallback
+    )
+    fused_logits = jnp.sum(logits_tensor * fusion_weights[..., None], axis=1)
+    return fused_logits, fusion_weights
+
+
+class UncertaintyWeightedFusion:
+    """Class-style wrapper for API parity with the reference."""
+
+    def __init__(self, epsilon: float = 1e-6):
+        self.epsilon = epsilon
+
+    def __call__(self, modality_predictions, modality_uncertainties, modality_mask):
+        return uncertainty_weighted_fusion(
+            modality_predictions, modality_uncertainties, modality_mask, self.epsilon
+        )
+
+
+class TemperatureScaling:
+    """Single-temperature post-hoc calibration (Guo et al., 2017).
+
+    ``calibrate`` minimises validation NLL over ``T`` with L-BFGS (scipy
+    driving a jitted jax value-and-grad); ``T`` is clamped to >= 1e-3
+    (reference ``:365-438``).
+    """
+
+    def __init__(self):
+        self.temperature = 1.0
+
+    def __call__(self, logits) -> jax.Array:
+        return jnp.asarray(logits) / self.temperature
+
+    forward = __call__
+
+    def calibrate(
+        self,
+        logits,
+        labels,
+        lr: float = 0.01,
+        max_iter: int = 50,
+    ) -> float:
+        from scipy.optimize import minimize
+
+        logits = jnp.asarray(logits, jnp.float32)
+        labels = jnp.asarray(labels, jnp.int32)
+
+        @jax.jit
+        def nll_and_grad(log_t):
+            def nll(log_t):
+                t = jnp.exp(log_t)  # parametrise log T so T stays positive
+                logp = jax.nn.log_softmax(logits / t, axis=-1)
+                return -jnp.mean(
+                    jnp.take_along_axis(logp, labels[:, None], axis=-1)
+                )
+
+            return jax.value_and_grad(nll)(log_t)
+
+        def objective(x):
+            value, grad = nll_and_grad(jnp.asarray(x[0], jnp.float32))
+            return float(value), np.array([float(grad)], dtype=np.float64)
+
+        result = minimize(
+            objective,
+            x0=np.zeros(1),
+            jac=True,
+            method="L-BFGS-B",
+            options={"maxiter": max_iter},
+        )
+        del lr  # accepted for API parity; L-BFGS needs no learning rate
+        self.temperature = max(float(np.exp(result.x[0])), 1e-3)
+        return self.temperature
+
+
+class EnsembleUncertainty:
+    """Uncertainty from an ensemble of (apply_fn, variables) members."""
+
+    def __init__(self, models: Sequence[Tuple[Any, Any]]):
+        self.models = list(models)
+        self.num_models = len(self.models)
+
+    def predict_with_uncertainty(self, *args) -> Tuple[jax.Array, jax.Array]:
+        if self.num_models == 0:
+            raise ValueError("Ensemble must contain at least one model.")
+        probs = []
+        for model, variables in self.models:
+            logits = model.apply(variables, *args, train=False)
+            if isinstance(logits, tuple):
+                logits = logits[0]
+            probs.append(jax.nn.softmax(logits, axis=-1))
+        tensor = jnp.stack(probs, axis=0)  # (E, B, C)
+        mean_predictions = jnp.mean(tensor, axis=0)
+        uncertainty = jnp.mean(jnp.var(tensor, axis=0, ddof=0), axis=-1)
+        return mean_predictions, uncertainty
+
+
+def compute_calibration_metrics(
+    logits: np.ndarray | None = None,
+    labels: np.ndarray | None = None,
+    batches: List[Tuple[np.ndarray, np.ndarray]] | None = None,
+    num_bins: int = 15,
+) -> Dict[str, float]:
+    """ECE/MCE/NLL/accuracy over a full logits set or an iterable of batches.
+
+    Mirrors the reference sweep helper (``:495-553``) including its empty-
+    loader error message.
+    """
+    if batches is not None:
+        parts_logits, parts_labels = [], []
+        for batch_logits, batch_labels in batches:
+            parts_logits.append(np.asarray(batch_logits))
+            parts_labels.append(np.asarray(batch_labels))
+        if not parts_logits:
+            raise ValueError("Dataloader produced no batches to evaluate.")
+        logits = np.concatenate(parts_logits)
+        labels = np.concatenate(parts_labels)
+    if logits is None or labels is None:
+        raise ValueError("Provide logits+labels or batches.")
+    logits = np.asarray(logits)
+    labels = np.asarray(labels)
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    confidences = probs.max(axis=-1)
+    predictions = probs.argmax(axis=-1)
+    return {
+        "ece": expected_calibration_error(confidences, predictions, labels, num_bins),
+        "mce": maximum_calibration_error(confidences, predictions, labels, num_bins),
+        "nll": negative_log_likelihood(logits, labels),
+        "accuracy": float((predictions == labels).mean()),
+    }
