@@ -27,6 +27,33 @@ import yaml
 _INTERP_RE = re.compile(r"\$\{([^}]+)\}")
 
 
+class _ConfigYamlLoader(yaml.SafeLoader):
+    """SafeLoader with a float resolver that accepts ``1e-3`` notation.
+
+    PyYAML's YAML-1.1 resolver only treats ``1.0e-3`` as a float; scientific
+    notation without a decimal point parses as a string. OmegaConf (the
+    reference's config engine) accepts ``1e-3`` — so do we.
+    """
+
+
+_ConfigYamlLoader.add_implicit_resolver(
+    "tag:yaml.org,2002:float",
+    re.compile(
+        r"""^(?:[-+]?(?:[0-9][0-9_]*)\.[0-9_]*(?:[eE][-+]?[0-9]+)?
+        |[-+]?\.[0-9_]+(?:[eE][-+]?[0-9]+)?
+        |[-+]?[0-9][0-9_]*[eE][-+]?[0-9]+
+        |[-+]?\.(?:inf|Inf|INF)
+        |\.(?:nan|NaN|NAN))$""",
+        re.X,
+    ),
+    list("-+0123456789."),
+)
+
+
+def _yaml_load(text: str):
+    return yaml.load(text, Loader=_ConfigYamlLoader)
+
+
 class ConfigNode(Mapping):
     """A nested attr-dict with ``${path}`` interpolation against its root."""
 
@@ -189,7 +216,7 @@ def unwrap_resolved(node: ConfigNode) -> Dict[str, Any]:
 
 def _parse_yaml_value(text: str) -> Any:
     try:
-        return yaml.safe_load(text)
+        return _yaml_load(text)
     except yaml.YAMLError:
         return text
 
@@ -215,7 +242,7 @@ def load_config(
     """Load a YAML config file and apply dotted CLI overrides."""
     path = Path(path)
     with path.open("r", encoding="utf-8") as handle:
-        raw = yaml.safe_load(handle) or {}
+        raw = _yaml_load(handle.read()) or {}
     cfg = ConfigNode(raw)
     for dotted, value in parse_overrides(overrides or []).items():
         cfg.set_dotted(dotted, value)
