@@ -136,12 +136,18 @@ class MCDropoutUncertainty:
         self.seed = seed
 
     def __call__(self, features, mask=None, lengths=None):
+        has_batch_stats = "batch_stats" in self.variables
+
         def apply_fn(key, feats, msk, lens):
-            return self.model.apply(
+            out = self.model.apply(
                 self.variables, feats, msk, lens, train=True,
                 rngs={"dropout": key},
-                mutable=False,
+                # dropout needs train=True; BatchNorm stat updates are
+                # computed mutably and discarded (the reference's
+                # model.train() MC loop updates them as a side effect)
+                mutable=["batch_stats"] if has_batch_stats else False,
             )
+            return out[0] if has_batch_stats else out
 
         predictor = mc_dropout(
             apply_fn, self.num_samples, jax.random.PRNGKey(self.seed)

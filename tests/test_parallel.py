@@ -1,0 +1,126 @@
+"""Sharding: DP mesh training step on a virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)
+
+
+def test_make_mesh_sizes():
+    mesh = make_mesh()
+    assert mesh.shape["data"] == len(jax.devices())
+    mesh4 = make_mesh(4)
+    assert mesh4.shape["data"] == 4
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(10_000)
+
+
+def test_shard_batch_places_arrays():
+    mesh = make_mesh()
+    batch = {"x": jnp.ones((16, 4)), "y": jnp.ones((16,))}
+    sharded = shard_batch(batch, mesh)
+    assert sharded["x"].sharding == batch_sharding(mesh)
+    np.testing.assert_allclose(np.asarray(sharded["x"]), 1.0)
+
+
+def test_psum_loss_matches_single_device():
+    """A DP-sharded loss+grad equals the single-device computation."""
+    mesh = make_mesh()
+    n_dev = mesh.shape["data"]
+    batch = 2 * n_dev
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, 8)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 3, batch), jnp.int32)
+    w = jnp.asarray(rng.standard_normal((8, 3)) * 0.1, jnp.float32)
+
+    def loss_fn(w, x, y):
+        logits = x @ w
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=-1))
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    base_loss, base_grad = grad_fn(w, x, y)
+
+    xs = jax.device_put(x, batch_sharding(mesh))
+    ys = jax.device_put(y, batch_sharding(mesh))
+    wr = jax.device_put(w, replicated_sharding(mesh))
+    sh_loss, sh_grad = grad_fn(wr, xs, ys)
+    assert float(sh_loss) == pytest.approx(float(base_loss), rel=1e-6)
+    np.testing.assert_allclose(np.asarray(sh_grad), np.asarray(base_grad), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as graft
+
+    n = min(8, len(jax.devices()))
+    graft.dryrun_multichip(n)
+
+
+def test_entry_forward_jits():
+    import __graft_entry__ as graft
+
+    fn, args = graft.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (16, 25)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_trainer_epoch_sharded_matches_replicated(tiny_model_cfg):
+    """The whole-epoch scan produces the same loss whether the per-step batch
+    axis is sharded over the mesh or fully replicated."""
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.data.dataset import (
+        BatchLoader,
+        SyntheticMultimodalDataset,
+    )
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.data.device import (
+        device_put_split,
+    )
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.train.trainer import (
+        Trainer,
+    )
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.utils.config import (
+        ConfigNode,
+    )
+
+    mesh = make_mesh()
+    n_dev = mesh.shape["data"]
+    cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+    cfg.set_dotted("dataset.batch_size", 2 * n_dev)
+    cfg.set_dotted("training.augmentation.modality_dropout", 0.0)
+
+    windows = SyntheticMultimodalDataset(
+        num_samples=4 * n_dev, num_classes=5,
+        modality_dims={"sensor1": 8, "sensor2": 8}, sequence_length=6,
+    ).windows
+
+    def run(shard: bool):
+        trainer = Trainer(cfg)
+        boot = next(iter(BatchLoader(windows, 2 * n_dev)))
+        state = trainer.init_state(boot, steps_per_epoch=2)
+        data = device_put_split(windows)
+        epoch_fn = trainer.make_train_epoch_fn()
+        idx = jnp.asarray(
+            np.arange(2 * 2 * n_dev).reshape(2, 2 * n_dev) % windows.num_windows,
+            jnp.int32,
+        )
+        weight = jnp.ones((2, 2 * n_dev), jnp.float32)
+        if shard:
+            spec = NamedSharding(mesh, P(None, "data"))
+            idx = jax.device_put(idx, spec)
+            weight = jax.device_put(weight, spec)
+        _, loss, acc = epoch_fn(state, data, idx, weight)
+        return float(loss), float(acc)
+
+    loss_rep, acc_rep = run(shard=False)
+    loss_sh, acc_sh = run(shard=True)
+    assert loss_sh == pytest.approx(loss_rep, rel=1e-4)
+    assert acc_sh == pytest.approx(acc_rep, rel=1e-4)

@@ -1,0 +1,174 @@
+"""Uncertainty: calibration suite, MC dropout, temperature scaling, fusion."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.uncertainty import (
+    CalibrationMetrics,
+    EnsembleUncertainty,
+    MCDropoutUncertainty,
+    TemperatureScaling,
+    compute_calibration_metrics,
+    mc_dropout,
+    uncertainty_weighted_fusion,
+)
+
+
+@pytest.fixture
+def predictions():
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((200, 6)).astype(np.float32) * 3
+    labels = rng.integers(0, 6, 200)
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    return logits, labels, probs.max(-1), probs.argmax(-1)
+
+
+class TestCalibrationMetrics:
+    def test_nonnegative(self, predictions):
+        logits, labels, conf, preds = predictions
+        assert CalibrationMetrics.expected_calibration_error(conf, preds, labels) >= 0
+        assert CalibrationMetrics.maximum_calibration_error(conf, preds, labels) >= 0
+        assert CalibrationMetrics.negative_log_likelihood(logits, labels) >= 0
+
+    def test_reliability_diagram_writes_file(self, predictions, tmp_path):
+        _, labels, conf, preds = predictions
+        path = tmp_path / "nested" / "reliability.png"
+        CalibrationMetrics.reliability_diagram(conf, preds, labels, save_path=path)
+        assert path.exists() and path.stat().st_size > 0
+
+
+class TestMCDropout:
+    def test_variance_positive_with_dropout(self):
+        def apply_fn(key, x):
+            mask = jax.random.bernoulli(key, 0.5, x.shape)
+            return x * mask
+
+        predictor = mc_dropout(apply_fn, num_samples=8, rng=jax.random.PRNGKey(0))
+        x = jnp.ones((4, 3))
+        mean_logits, variance = predictor(x)
+        assert mean_logits.shape == (4, 3)
+        assert variance.shape == (4,)
+        assert float(variance.min()) > 0
+
+    def test_deterministic_model_zero_variance(self):
+        predictor = mc_dropout(lambda key, x: x * 2.0, 5, jax.random.PRNGKey(0))
+        mean_logits, variance = predictor(jnp.ones((2, 3)))
+        np.testing.assert_allclose(np.asarray(mean_logits), 2.0)
+        np.testing.assert_allclose(np.asarray(variance), 0.0, atol=1e-12)
+
+    def test_model_wrapper(self, tiny_model_cfg):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.models.module import (
+            MultimodalFusionModel,
+        )
+
+        model = MultimodalFusionModel.from_config(tiny_model_cfg)
+        feats = {
+            "sensor1": jnp.ones((2, 12, 8)),
+            "sensor2": jnp.ones((2, 12, 8)),
+        }
+        mask = jnp.ones((2, 2))
+        rng = jax.random.PRNGKey(0)
+        variables = model.init({"params": rng, "dropout": rng}, feats, mask)
+        mcd = MCDropoutUncertainty(model, variables, num_samples=4)
+        mean_logits, variance = mcd(feats, mask)
+        assert mean_logits.shape == (2, 5)
+        assert variance.shape == (2,)
+        assert float(variance.max()) > 0  # dropout is active
+
+
+class TestTemperatureScaling:
+    def test_improves_nll_on_overconfident_logits(self):
+        rng = np.random.default_rng(1)
+        labels = rng.integers(0, 4, 500)
+        clean = np.eye(4)[labels] * 2.0
+        noisy = clean + rng.standard_normal((500, 4))
+        overconfident = noisy * 5.0  # scale up -> overconfident
+        ts = TemperatureScaling()
+        before = CalibrationMetrics.negative_log_likelihood(overconfident, labels)
+        ts.calibrate(overconfident, labels)
+        after = CalibrationMetrics.negative_log_likelihood(
+            np.asarray(ts(overconfident)), labels
+        )
+        assert ts.temperature > 1.0
+        assert after < before
+
+    def test_temperature_floor(self):
+        ts = TemperatureScaling()
+        ts.temperature = 1.0
+        logits = np.array([[10.0, -10.0]] * 4, np.float32)
+        labels = np.zeros(4, np.int64)
+        ts.calibrate(logits, labels)  # pushes T down, floor at 1e-3
+        assert ts.temperature >= 1e-3
+
+
+class TestUncertaintyWeightedFusion:
+    def test_low_uncertainty_dominates(self):
+        preds = {
+            "a": jnp.asarray([[10.0, 0.0]]),
+            "b": jnp.asarray([[0.0, 10.0]]),
+        }
+        unc = {"a": jnp.asarray([0.001]), "b": jnp.asarray([10.0])}
+        fused, weights = uncertainty_weighted_fusion(preds, unc, jnp.ones((1, 2)))
+        w = np.asarray(weights)[0]
+        assert w[0] > 0.99
+        assert float(fused[0, 0]) > float(fused[0, 1])
+
+    def test_mask_fallback(self):
+        preds = {"a": jnp.ones((2, 3)), "b": jnp.ones((2, 3)) * 2}
+        unc = {"a": jnp.ones(2), "b": jnp.ones(2)}
+        mask = jnp.asarray([[1.0, 0.0], [0.0, 0.0]])
+        fused, weights = uncertainty_weighted_fusion(preds, unc, mask)
+        w = np.asarray(weights)
+        np.testing.assert_allclose(w[0], [1.0, 0.0], atol=1e-6)
+        np.testing.assert_allclose(w[1], [0.5, 0.5], atol=1e-6)  # uniform fallback
+
+    def test_missing_uncertainty_raises(self):
+        with pytest.raises(KeyError, match="Missing uncertainty for modality 'b'"):
+            uncertainty_weighted_fusion(
+                {"a": jnp.ones((1, 2)), "b": jnp.ones((1, 2))},
+                {"a": jnp.ones(1)},
+                jnp.ones((1, 2)),
+            )
+
+    def test_empty_predictions_raises(self):
+        with pytest.raises(ValueError, match="No modality predictions supplied"):
+            uncertainty_weighted_fusion({}, {}, jnp.ones((1, 0)))
+
+
+class TestEnsemble:
+    def test_mean_and_variance(self):
+        class Stub:
+            def __init__(self, scale):
+                self.scale = scale
+
+            def apply(self, variables, x, train=False):
+                return x * self.scale
+
+        ensemble = EnsembleUncertainty([(Stub(1.0), {}), (Stub(2.0), {})])
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((3, 4)), jnp.float32)
+        mean_predictions, uncertainty = ensemble.predict_with_uncertainty(x)
+        assert mean_predictions.shape == (3, 4)
+        np.testing.assert_allclose(
+            np.asarray(mean_predictions.sum(-1)), 1.0, rtol=1e-5
+        )  # softmax rows
+        assert uncertainty.shape == (3,)
+
+    def test_empty_ensemble_raises(self):
+        with pytest.raises(ValueError, match="at least one model"):
+            EnsembleUncertainty([]).predict_with_uncertainty(jnp.ones((1, 2)))
+
+
+class TestComputeCalibrationMetrics:
+    def test_from_batches(self, predictions):
+        logits, labels, _, _ = predictions
+        batches = [(logits[:100], labels[:100]), (logits[100:], labels[100:])]
+        metrics = compute_calibration_metrics(batches=batches)
+        direct = compute_calibration_metrics(logits=logits, labels=labels)
+        assert metrics == pytest.approx(direct)
+        assert set(metrics) == {"ece", "mce", "nll", "accuracy"}
+
+    def test_empty_batches_raise(self):
+        with pytest.raises(ValueError, match="Dataloader produced no batches to evaluate."):
+            compute_calibration_metrics(batches=[])
