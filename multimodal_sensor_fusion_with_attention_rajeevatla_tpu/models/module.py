@@ -16,10 +16,12 @@ from __future__ import annotations
 from typing import Any, Dict, Mapping, Optional
 
 import jax
+import jax.numpy as jnp
 from flax import linen as nn
 
 from .encoders import FrameEncoder, SequenceEncoder, SimpleMLPEncoder, build_encoder
 from .fusion import build_fusion_model
+from .grouped import GroupedRNNEncoder, groupable_modalities, stack_group_features
 from ..ops.masked import lengths_to_mask
 
 
@@ -35,6 +37,10 @@ class MultimodalFusionModel(nn.Module):
         hidden_dim / num_heads / dropout: fusion head hyperparameters.
         num_classes: logit width (PAMAP2 uses 25 = raw activity-id space).
         layer_norm: per-modality LayerNorm on encoder outputs.
+        grouped_encoders: when True (default), modalities with compatible
+            single-layer LSTM/GRU sequence encoders are encoded by ONE
+            batched scan (see ``grouped.GroupedRNNEncoder``) — the TPU-first
+            replacement for running M serial per-modality RNN scans.
     """
 
     modalities: tuple
@@ -46,17 +52,34 @@ class MultimodalFusionModel(nn.Module):
     num_classes: int = 25
     dropout: float = 0.1
     layer_norm: bool = True
+    grouped_encoders: bool = True
 
     def setup(self):
-        configs = dict(self.encoder_configs)
+        configs = {k: dict(v) for k, v in dict(self.encoder_configs).items()}
+        self._grouped_names = []
+        if self.grouped_encoders:
+            names, shared = groupable_modalities(self.modalities, configs)
+            if names:
+                self._grouped_names = names
+                self.grouped_encoder = GroupedRNNEncoder(
+                    num_groups=len(names),
+                    hidden_dim=int(shared.get("hidden_dim") or self.hidden_dim),
+                    output_dim=self.output_dim,
+                    num_layers=1,
+                    cell_type=shared["encoder_type"],
+                    dropout=self.dropout,
+                    name="grouped_rnn",
+                )
+        grouped = set(self._grouped_names)
         self.encoders = {
             name: build_encoder(
                 modality=name,
-                input_dim=int(dict(configs.get(name, {})).get("input_dim", 64) or 64),
+                input_dim=int(configs.get(name, {}).get("input_dim", 64) or 64),
                 output_dim=self.output_dim,
                 encoder_config=dict(configs.get(name, {})),
             )
             for name in self.modalities
+            if name not in grouped
         }
         if self.layer_norm:
             self.layer_norms = {
@@ -79,8 +102,34 @@ class MultimodalFusionModel(nn.Module):
     ) -> Dict[str, jax.Array]:
         """Run every available modality through its encoder (+LayerNorm)."""
         encoded: Dict[str, jax.Array] = {}
+        grouped_present = [n for n in self._grouped_names if n in features]
+        if grouped_present and len(grouped_present) == len(self._grouped_names):
+            stacked = stack_group_features(features, grouped_present)
+            group_out = self.grouped_encoder(stacked, lengths=lengths, train=train)
+            for i, name in enumerate(grouped_present):
+                emb = group_out[i]
+                if self.layer_norm:
+                    emb = self.layer_norms[name](emb)
+                encoded[name] = emb
+        elif grouped_present:
+            # partial availability: fall back to a stacked call with the
+            # missing members zero-filled (their outputs are discarded)
+            template = features[grouped_present[0]]
+            full = {
+                n: features.get(n, jnp.zeros_like(template))
+                for n in self._grouped_names
+            }
+            stacked = stack_group_features(full, self._grouped_names)
+            group_out = self.grouped_encoder(stacked, lengths=lengths, train=train)
+            for i, name in enumerate(self._grouped_names):
+                if name not in features:
+                    continue
+                emb = group_out[i]
+                if self.layer_norm:
+                    emb = self.layer_norms[name](emb)
+                encoded[name] = emb
         for name in self.modalities:
-            if name not in features:
+            if name not in features or name in self._grouped_names:
                 continue
             encoder = self.encoders[name]
             x = features[name]
@@ -164,4 +213,5 @@ class MultimodalFusionModel(nn.Module):
             num_classes=int(dataset_cfg.get("num_classes", 11)),
             dropout=float(model_cfg.get("dropout", 0.1)),
             layer_norm=bool(model_cfg.get("layer_norm", False)),
+            grouped_encoders=bool(model_cfg.get("grouped_encoders", True)),
         )
