@@ -127,6 +127,7 @@ class MultimodalDataset:
         modality_dropout: float = 0.0,
         chunk_size: Optional[int] = None,
         chunk_cache_dir: Optional[str | Path] = None,
+        window_stride: Optional[int] = None,
         pad_to_chunk: bool = True,
         rng: Optional[np.random.Generator] = None,
     ):
@@ -136,6 +137,9 @@ class MultimodalDataset:
         self.transform = transform
         self.modality_dropout = modality_dropout if split == "train" else 0.0
         self.chunk_size = chunk_size
+        # sliding-window segmentation: stride < chunk_size yields overlapping
+        # windows (a data-multiplier the reference's disjoint chunking lacks)
+        self.window_stride = window_stride or chunk_size
         self.chunk_cache_dir = Path(chunk_cache_dir) if chunk_cache_dir else None
         self.pad_to_chunk = pad_to_chunk
         self._rng = rng or np.random.default_rng(0)
@@ -201,7 +205,10 @@ class MultimodalDataset:
         if self.chunk_cache_dir is None:
             return None
         self.chunk_cache_dir.mkdir(parents=True, exist_ok=True)
-        key = f"{self.split}_chunks_{self.chunk_size or 'full'}_{num_shards}"
+        key = (
+            f"{self.split}_chunks_{self.chunk_size or 'full'}"
+            f"_s{self.window_stride or 'full'}_{num_shards}"
+        )
         digest = hashlib.md5(str(self.data_dir).encode()).hexdigest()[:8]
         return self.chunk_cache_dir / f"{key}_{digest}.json"
 
@@ -211,11 +218,14 @@ class MultimodalDataset:
             if self.chunk_size is None:
                 chunks.append((shard_idx, 0, rows))
                 continue
+            stride = max(1, int(self.window_stride or self.chunk_size))
             start = 0
             while start < rows:
                 end = min(start + self.chunk_size, rows)
                 chunks.append((shard_idx, start, end))
-                start = end
+                if end >= rows:
+                    break
+                start += stride
         return chunks
 
     def _load_or_build_chunks(self, shard_rows: List[int]) -> List[Tuple[int, int, int]]:
@@ -264,14 +274,31 @@ class MultimodalDataset:
         lengths = np.zeros(num, dtype=np.int32)
 
         for w, (shard_idx, start, end) in enumerate(chunks):
-            block = shard_datas[shard_idx][start:end]
-            label_values = block[:, activity_col]
+            label_values = shard_datas[shard_idx][start:end, activity_col]
             if not np.all(label_values == label_values[0]):
                 raise ValueError("Activity id varies within shard chunk.")
             labels[w] = int(label_values[0])
             lengths[w] = end - start
+
+        from .native import window_gather as native_window_gather
+
+        by_shard: Dict[int, List[int]] = {}
+        for w, (shard_idx, _s, _e) in enumerate(chunks):
+            by_shard.setdefault(shard_idx, []).append(w)
+        for shard_idx, window_ids in by_shard.items():
+            starts = [chunks[w][1] for w in window_ids]
+            ends = [chunks[w][2] for w in window_ids]
             for m, idx in modality_idx.items():
-                features[m][w, : end - start] = _scrub(block[:, idx])
+                gathered = native_window_gather(
+                    shard_datas[shard_idx], starts, ends, window, idx
+                )
+                if gathered is None:  # numpy fallback
+                    for w, s, e in zip(window_ids, starts, ends):
+                        features[m][w, : e - s] = _scrub(
+                            shard_datas[shard_idx][s:e][:, idx]
+                        )
+                else:
+                    features[m][np.asarray(window_ids)] = gathered
 
         return WindowedSplit(features=features, labels=labels, lengths=lengths,
                              modalities=list(self.modalities))
@@ -451,15 +478,58 @@ class BatchLoader:
             yield features, labels, mask, lengths, weight
 
 
+def compute_normalization_stats(
+    windows: WindowedSplit,
+) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
+    """Per-modality per-channel mean/std over VALID timesteps of a split."""
+    stats: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+    seq_len = windows.window_size
+    valid = (
+        np.arange(seq_len)[None, :] < windows.lengths[:, None]
+    )[..., None]  # [N, T, 1]
+    denom = max(1, int(valid.sum()))
+    for m in windows.modalities:
+        x = windows.features[m]
+        masked = x * valid
+        mean = masked.sum(axis=(0, 1)) / denom
+        var = ((x - mean) * valid).astype(np.float64) ** 2
+        std = np.sqrt(var.sum(axis=(0, 1)) / denom)
+        std = np.where(std < 1e-6, 1.0, std)
+        stats[m] = (mean.astype(np.float32), std.astype(np.float32))
+    return stats
+
+
+def apply_normalization(
+    windows: WindowedSplit,
+    stats: Dict[str, Tuple[np.ndarray, np.ndarray]],
+) -> WindowedSplit:
+    """Z-score features in place with train-split stats; padding stays zero."""
+    seq_len = windows.window_size
+    valid = (
+        np.arange(seq_len)[None, :] < windows.lengths[:, None]
+    )[..., None].astype(np.float32)
+    for m in windows.modalities:
+        mean, std = stats[m]
+        windows.features[m] = ((windows.features[m] - mean) / std) * valid
+    return windows
+
+
 def create_datasets(
     dataset_name: str,
     data_dir: str | Path,
     modalities: Sequence[str],
     chunk_size: Optional[int] = None,
     chunk_cache_dir: Optional[str | Path] = None,
+    normalize: bool = False,
+    window_stride: Optional[int] = None,
     **kwargs,
 ) -> Tuple[WindowedSplit, WindowedSplit, WindowedSplit]:
-    """Materialise train/val/test :class:`WindowedSplit`s."""
+    """Materialise train/val/test :class:`WindowedSplit`s.
+
+    ``normalize`` applies per-channel z-scoring with TRAIN-split statistics to
+    all three splits. ``window_stride`` (train only) enables overlapping
+    sliding windows.
+    """
     if dataset_name == "synthetic":
         def make(split, n):
             return SyntheticMultimodalDataset(
@@ -475,16 +545,25 @@ def create_datasets(
         n_eval = max(1, kwargs.get("num_samples", 2000) // 5)
         return make("train", n_train), make("val", n_eval), make("test", n_eval)
 
-    def make_real(split):
+    def make_real(split, stride=None):
         return MultimodalDataset(
             data_dir,
             modalities,
             split,
             chunk_size=chunk_size,
             chunk_cache_dir=chunk_cache_dir,
+            window_stride=stride,
         ).windows
 
-    return make_real("train"), make_real("val"), make_real("test")
+    train_w = make_real("train", stride=window_stride)
+    val_w = make_real("val")
+    test_w = make_real("test")
+    if normalize:
+        stats = compute_normalization_stats(train_w)
+        train_w = apply_normalization(train_w, stats)
+        val_w = apply_normalization(val_w, stats)
+        test_w = apply_normalization(test_w, stats)
+    return train_w, val_w, test_w
 
 
 def create_dataloaders(

@@ -61,7 +61,17 @@ _HR_MEDIAN_WINDOW = 25
 
 
 def load_subject_file(path: Path) -> np.ndarray:
-    """Parse one raw PAMAP2 subject ``.dat`` file -> float32 ``[rows, 54]``."""
+    """Parse one raw PAMAP2 subject ``.dat`` file -> float32 ``[rows, 54]``.
+
+    Uses the native multithreaded parser (``native/fastload.cpp``) when
+    available — ~2 orders of magnitude faster than ``np.loadtxt`` on the
+    multi-hundred-MB raw subject files — with a numpy fallback.
+    """
+    from .native import parse_dat
+
+    native = parse_dat(path, len(PAMAP2_COLUMNS))
+    if native is not None:
+        return native
     rows = np.loadtxt(path, dtype=np.float32, ndmin=2)
     if rows.shape[1] != len(PAMAP2_COLUMNS):
         raise ValueError(

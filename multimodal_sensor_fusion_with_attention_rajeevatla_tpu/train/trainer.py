@@ -130,6 +130,9 @@ class Trainer:
         self.label_smoothing = float(config.training.get("label_smoothing", 0.0))
         augmentation = config.training.get("augmentation", {}) or {}
         self.modality_dropout = float(augmentation.get("modality_dropout", 0.0))
+        # On-device train-time augmentation. (The reference declares these
+        # config keys but never wires them; here they are real.)
+        self.gaussian_noise = float(augmentation.get("gaussian_noise", 0.0))
         self.batch_size = int(config.dataset.get("batch_size", 32))
         self.seed = int(config.get("seed", 42))
         self._has_batch_stats = False
@@ -232,8 +235,17 @@ class Trainer:
             def body(state, xs):
                 idx, weight = xs
                 step_rng = jax.random.fold_in(state.rng, state.step)
-                drop_rng, apply_rng = jax.random.split(step_rng)
+                drop_rng, noise_rng, apply_rng = jax.random.split(step_rng, 3)
                 features, labels, lengths = data.gather(idx)
+                if self.gaussian_noise > 0:
+                    features = {
+                        m: v
+                        + self.gaussian_noise
+                        * jax.random.normal(
+                            jax.random.fold_in(noise_rng, i), v.shape, v.dtype
+                        )
+                        for i, (m, v) in enumerate(features.items())
+                    }
                 mask = self._dropout_modality_mask(drop_rng, idx.shape[0], num_mod)
                 new_state, loss, acc = self._loss_and_updates(
                     state, features, labels, mask, lengths, weight, apply_rng

@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Local experiment matrix — the reference's 13-job CI "cluster" on one host.
+
+The reference scales out via a GitHub Actions matrix (fusion sweep, heads
+ablation, chunk-size ablation, single-modality sweep) whose artifacts a merge
+job aggregates into ``experiments/fusion_comparison.json`` + plots
+(``.github/workflows/parallel_run.yml:13-312``). One TPU chip outruns 13
+CPU runners, so here the same matrix runs as a sequential sweep with the
+merge step inlined at the end.
+
+Usage:
+    python scripts/run_experiments.py [--epochs 10] [--groups fusion,heads,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import traceback
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.cli import (  # noqa: E402
+    aggregate_fusion_comparison,
+    analysis_main,
+    eval_main,
+    train_main,
+)
+
+MODALITIES = ["imu_hand", "imu_chest", "imu_ankle", "heart_rate"]
+
+
+def matrix(epochs: int):
+    jobs = []
+    for fusion in ("early", "late", "hybrid"):
+        jobs.append(
+            (
+                "fusion-sweep",
+                fusion,
+                [
+                    f"model.fusion_type={fusion}",
+                    f"training.max_epochs={epochs}",
+                    f"experiment.name=sweep_{fusion}",
+                ],
+            )
+        )
+    for heads in (1, 4, 8):
+        jobs.append(
+            (
+                "heads-ablation",
+                f"heads_{heads}",
+                [
+                    "model.fusion_type=hybrid",
+                    f"model.num_heads={heads}",
+                    f"training.max_epochs={epochs}",
+                    f"experiment.name=heads_{heads}",
+                ],
+            )
+        )
+    for chunk in (512, 1024, 2048):
+        jobs.append(
+            (
+                "chunks-ablation",
+                f"chunk_{chunk}",
+                [
+                    f"dataset.chunk_size={chunk}",
+                    f"dataset.window_stride={max(chunk // 4, 128)}",
+                    f"training.max_epochs={epochs}",
+                    f"experiment.name=chunk_{chunk}",
+                ],
+            )
+        )
+    for modality in MODALITIES:
+        jobs.append(
+            (
+                "single-modality-sweep",
+                modality,
+                [
+                    f"dataset.modalities=[{modality}]",
+                    f"training.max_epochs={epochs}",
+                    f"experiment.name=single_{modality}",
+                ],
+            )
+        )
+    return jobs
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--epochs", type=int, default=10)
+    parser.add_argument(
+        "--groups", type=str, default="fusion,heads,chunks,single",
+        help="comma list: fusion,heads,chunks,single",
+    )
+    parser.add_argument("--experiments_dir", type=str, default="experiments")
+    parser.add_argument("--analysis_dir", type=str, default="analysis")
+    args = parser.parse_args()
+
+    wanted = {g.strip() for g in args.groups.split(",")}
+    group_map = {
+        "fusion-sweep": "fusion",
+        "heads-ablation": "heads",
+        "chunks-ablation": "chunks",
+        "single-modality-sweep": "single",
+    }
+
+    failures = []
+    for group, name, overrides in matrix(args.epochs):
+        if group_map[group] not in wanted:
+            continue
+        print(f"\n=== {group} / {name} ===", flush=True)
+        out_dir = Path(args.experiments_dir) / name
+        try:
+            results = train_main(overrides)
+            ckpt = results["best_model_path"]
+            eval_args = [
+                "--checkpoint", ckpt,
+                "--output_dir", str(out_dir),
+                "--analysis_dir", args.analysis_dir,
+            ]
+            if group == "fusion-sweep":
+                eval_args.append("--missing_modality_test")
+            eval_main(eval_args)
+        except Exception as exc:
+            traceback.print_exc()
+            failures.append((group, name, str(exc)))
+
+    # merge step (reference parallel_run.yml:285-312)
+    print("\n=== merge ===", flush=True)
+    fusion_file = Path(args.experiments_dir) / "fusion_comparison.json"
+    aggregate_fusion_comparison(args.experiments_dir, fusion_file)
+    analysis_main(
+        [
+            "--experiment_dir", args.experiments_dir,
+            "--output_dir", args.analysis_dir,
+            "--fusion_file", str(fusion_file),
+        ]
+    )
+    summary = {
+        "jobs": [name for _, name, _ in matrix(args.epochs)],
+        "failures": failures,
+    }
+    print(json.dumps(summary, indent=2))
+    if failures:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
