@@ -83,7 +83,7 @@ def _dataset_kwargs(config: ConfigNode) -> dict:
         modalities=list(ds.modalities),
         chunk_size=ds.get("chunk_size"),
         chunk_cache_dir=ds.get("chunk_cache_dir"),
-        normalize=bool(ds.get("normalize", False)),
+        normalize=ds.get("normalize", False),
         window_stride=ds.get("window_stride"),
     )
     if str(ds.name) == "synthetic":

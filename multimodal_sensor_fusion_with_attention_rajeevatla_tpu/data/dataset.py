@@ -514,6 +514,29 @@ def apply_normalization(
     return windows
 
 
+def apply_instance_normalization(windows: WindowedSplit) -> WindowedSplit:
+    """Per-window per-channel z-scoring (no cross-split statistics).
+
+    Each window is standardised by its own valid-timestep mean/std — the
+    classic cross-subject robustness trick for wearable-sensor HAR (sensor
+    offsets and subject-specific baselines cancel out). Needs no train-split
+    statistics, so serving-time inputs normalise independently.
+    """
+    seq_len = windows.window_size
+    valid = (
+        np.arange(seq_len)[None, :] < windows.lengths[:, None]
+    )[..., None].astype(np.float32)
+    denom = np.clip(windows.lengths[:, None, None].astype(np.float32), 1.0, None)
+    for m in windows.modalities:
+        x = windows.features[m] * valid
+        mean = x.sum(axis=1, keepdims=True) / denom
+        var = (((windows.features[m] - mean) * valid) ** 2).sum(axis=1, keepdims=True) / denom
+        std = np.sqrt(var)
+        std = np.where(std < 1e-6, 1.0, std)
+        windows.features[m] = ((windows.features[m] - mean) / std) * valid
+    return windows
+
+
 def create_datasets(
     dataset_name: str,
     data_dir: str | Path,
@@ -558,7 +581,11 @@ def create_datasets(
     train_w = make_real("train", stride=window_stride)
     val_w = make_real("val")
     test_w = make_real("test")
-    if normalize:
+    mode = normalize if isinstance(normalize, str) else ("global" if normalize else "none")
+    if mode == "instance":
+        for w in (train_w, val_w, test_w):
+            apply_instance_normalization(w)
+    elif mode in ("global", "true", "zscore"):
         stats = compute_normalization_stats(train_w)
         train_w = apply_normalization(train_w, stats)
         val_w = apply_normalization(val_w, stats)

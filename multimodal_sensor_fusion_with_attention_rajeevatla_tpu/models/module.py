@@ -94,6 +94,26 @@ class MultimodalFusionModel(nn.Module):
             dropout=self.dropout,
         )
 
+    @staticmethod
+    def _scale_lengths(
+        lengths: Optional[jax.Array], ref_len: Optional[int], this_len: int
+    ) -> Optional[jax.Array]:
+        """Rescale window valid-lengths between modality time axes.
+
+        ``lengths`` follows the first modality's time axis (``ref_len``).
+        Modalities sampled at different rates (e.g. MHAD video 30 fps vs IMU
+        50 Hz) cover the same wall-clock span with different step counts, so
+        the valid fraction transfers proportionally.
+        """
+        if lengths is None or ref_len is None:
+            return lengths
+        if ref_len == this_len:
+            return lengths
+        scaled = jnp.ceil(
+            lengths.astype(jnp.float32) * (this_len / ref_len)
+        ).astype(jnp.int32)
+        return jnp.clip(scaled, 0, this_len)
+
     def encode(
         self,
         features: Mapping[str, jax.Array],
@@ -102,6 +122,11 @@ class MultimodalFusionModel(nn.Module):
     ) -> Dict[str, jax.Array]:
         """Run every available modality through its encoder (+LayerNorm)."""
         encoded: Dict[str, jax.Array] = {}
+        ref_len = None
+        for name in self.modalities:
+            if name in features and features[name].ndim == 3:
+                ref_len = int(features[name].shape[1])
+                break
         grouped_present = [n for n in self._grouped_names if n in features]
         if grouped_present and len(grouped_present) == len(self._grouped_names):
             stacked = stack_group_features(features, grouped_present)
@@ -133,11 +158,18 @@ class MultimodalFusionModel(nn.Module):
                 continue
             encoder = self.encoders[name]
             x = features[name]
+            mod_lengths = (
+                self._scale_lengths(lengths, ref_len, int(x.shape[1]))
+                if x.ndim == 3
+                else lengths
+            )
             if isinstance(encoder, SequenceEncoder):
-                emb = encoder(x, lengths=lengths, train=train)
+                emb = encoder(x, lengths=mod_lengths, train=train)
             elif isinstance(encoder, FrameEncoder):
                 frame_mask = (
-                    lengths_to_mask(lengths, x.shape[1]) if lengths is not None else None
+                    lengths_to_mask(mod_lengths, x.shape[1])
+                    if mod_lengths is not None
+                    else None
                 )
                 emb = encoder(x, mask=frame_mask, train=train)
             elif isinstance(encoder, SimpleMLPEncoder):
