@@ -121,6 +121,11 @@ def bench_tpu(windows) -> dict:
     from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.data.device import (
         device_put_split,
     )
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.utils.config import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
 
     model = build_model()
     log(f"jax backend: {jax.default_backend()}, devices: {jax.devices()}")

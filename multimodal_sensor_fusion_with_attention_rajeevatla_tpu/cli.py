@@ -28,6 +28,9 @@ def _apply_runtime_config(config: ConfigNode) -> None:
     """Seed + numeric-precision knobs (reference ``src/train.py:446-451``)."""
     import jax
 
+    from .utils.config import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     seed = int(config.get("seed", 42))
     np.random.seed(seed)
     precision = str(config.get("training", {}).get("matmul_precision", "") or "")

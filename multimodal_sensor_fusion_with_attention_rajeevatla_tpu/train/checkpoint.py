@@ -62,12 +62,24 @@ class CheckpointManager:
             return None
         return float(min(self._entries, key=lambda e: e[0])[0])
 
-    def _write(self, path: Path, variables: Dict[str, Any], meta: Dict[str, Any]) -> None:
+    def _write(
+        self,
+        path: Path,
+        variables: Dict[str, Any],
+        meta: Dict[str, Any],
+        train_state: Any = None,
+    ) -> None:
         if path.exists():
             shutil.rmtree(path)
         path.mkdir(parents=True, exist_ok=True)
         host_vars = jax.tree_util.tree_map(np.asarray, variables)
         _save_variables(path, host_vars)
+        if train_state is not None:
+            host_state = jax.tree_util.tree_map(np.asarray, train_state)
+            with ocp.PyTreeCheckpointer() as checkpointer:
+                checkpointer.save(
+                    path.resolve() / "train_state", host_state, force=True
+                )
         payload = dict(meta)
         if self.config is not None:
             payload["config"] = self.config.to_container(resolve=True)
@@ -79,8 +91,11 @@ class CheckpointManager:
         epoch: int,
         score: float,
         extra_meta: Optional[Dict[str, Any]] = None,
+        train_state: Any = None,
     ) -> Optional[str]:
-        """Save if within top-k; also refresh ``last``. Returns saved path."""
+        """Save if within top-k; also refresh ``last`` (which additionally
+        carries the full optimizer/PRNG train state for mid-run resume).
+        Returns the saved top-k path, if any."""
         meta = {"epoch": int(epoch), "val_loss": float(score)}
         if extra_meta:
             meta.update(extra_meta)
@@ -105,8 +120,20 @@ class CheckpointManager:
                         shutil.rmtree(worst_entry[1])
 
         if self.save_last:
-            self._write(self.directory / "last", variables, meta)
+            self._write(self.directory / "last", variables, meta, train_state)
         return saved_path
+
+
+def load_train_state(path: str | Path, target: Any = None):
+    """Restore the full train state saved with a ``last`` checkpoint."""
+    path = Path(path)
+    state_dir = (path / "train_state").resolve()
+    if not state_dir.exists():
+        raise FileNotFoundError(f"No train_state in checkpoint: {path}")
+    with ocp.PyTreeCheckpointer() as checkpointer:
+        if target is not None:
+            return checkpointer.restore(state_dir, item=target)
+        return checkpointer.restore(state_dir)
 
 
 def load_checkpoint(path: str | Path):

@@ -311,6 +311,7 @@ class Trainer:
         test_windows: Optional[WindowedSplit] = None,
         save_dir: Optional[str | Path] = None,
         log_fn: Optional[Callable[[str], None]] = print,
+        resume_from: Optional[str | Path] = None,
     ) -> Dict[str, Any]:
         cfg = self.config
         max_epochs = int(cfg.training.get("max_epochs", 1))
@@ -331,6 +332,16 @@ class Trainer:
         # bootstrap state from one host batch
         boot_loader = BatchLoader(train_windows, self.batch_size)
         state = self.init_state(next(iter(boot_loader)), steps_per_epoch)
+        start_epoch = 0
+        if resume_from is not None:
+            from .checkpoint import load_checkpoint as _load_ckpt
+            from .checkpoint import load_train_state
+
+            state = load_train_state(resume_from, target=state)
+            _vars, _cfg, meta = _load_ckpt(resume_from)
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            if log_fn:
+                log_fn(f"resumed from {resume_from} at epoch {start_epoch}")
         epoch_fn = self.make_train_epoch_fn()
 
         ckpt = CheckpointManager(
@@ -351,7 +362,7 @@ class Trainer:
         bad_epochs = 0
         history = []
         t_start = time.perf_counter()
-        for epoch in range(max_epochs):
+        for epoch in range(start_epoch, max_epochs):
             idx_mat, weight_mat = self._index_matrix(
                 train_windows.num_windows, self.batch_size, True, self.seed + epoch
             )
@@ -387,7 +398,7 @@ class Trainer:
                     f"val/loss={val_loss:.4f} val/acc={val_acc:.4f}"
                 )
 
-            ckpt.save(self.variables(state), epoch, val_loss)
+            ckpt.save(self.variables(state), epoch, val_loss, train_state=state)
             if val_loss < best_val:
                 best_val = val_loss
                 bad_epochs = 0

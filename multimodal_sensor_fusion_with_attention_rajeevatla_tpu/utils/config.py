@@ -251,3 +251,25 @@ def load_config(
 
 def to_container(cfg: ConfigNode, resolve: bool = True) -> Dict[str, Any]:
     return cfg.to_container(resolve=resolve)
+
+
+def enable_persistent_compilation_cache(cache_dir: str | None = None) -> None:
+    """Turn on JAX's on-disk executable cache (idempotent, best effort).
+
+    Big scan-heavy training programs take minutes to compile; caching them
+    across processes makes repeat CLI invocations start in seconds.
+    """
+    import os
+
+    import jax
+
+    path = cache_dir or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/msfa_jax")
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass

@@ -157,3 +157,26 @@ class TestEarlyStopping:
         train_w, val_w, _ = _splits(num=32)
         results = trainer.fit(train_w, val_w, save_dir=tmp_path, log_fn=None)
         assert len(results["history"]) < 30
+
+
+class TestResume:
+    def test_resume_continues_from_last(self, tiny_model_cfg, tmp_path):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.utils.config import (
+            ConfigNode,
+        )
+
+        cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+        cfg.set_dotted("training.max_epochs", 2)
+        train_w, val_w, _ = _splits(num=32)
+        t1 = Trainer(cfg)
+        t1.fit(train_w, val_w, save_dir=tmp_path, log_fn=None)
+
+        cfg2 = ConfigNode(cfg.to_container(resolve=False))
+        cfg2.set_dotted("training.max_epochs", 4)
+        t2 = Trainer(cfg2)
+        results = t2.fit(
+            train_w, val_w, save_dir=tmp_path, log_fn=None,
+            resume_from=tmp_path / "checkpoints" / "last",
+        )
+        epochs = [h["epoch"] for h in results["history"]]
+        assert epochs == [2, 3]  # continued, not restarted
