@@ -47,6 +47,10 @@ class GroupedRNNEncoder(nn.Module):
     num_layers: int = 1
     cell_type: str = "lstm"
     dropout: float = 0.1
+    # Route the recurrence through the Pallas kernel (ops/pallas_rnn.py) on
+    # non-training calls. Parameters are identical either way, so checkpoints
+    # are interchangeable; training always uses the autodiff-able XLA scan.
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -91,6 +95,25 @@ class GroupedRNNEncoder(nn.Module):
             x_proj = x_proj + b_ih[None, :, None, :]
 
             h0 = jnp.zeros((groups, batch, hidden), stacked.dtype)
+
+            if (
+                self.use_pallas
+                and not train
+                and self.cell_type == "lstm"
+                and self.num_layers == 1
+            ):
+                from ..ops.pallas_rnn import grouped_lstm_forward
+
+                final_state = grouped_lstm_forward(
+                    x_proj,
+                    w_hh,
+                    b_hh,
+                    lengths=lengths if lengths is not None else None,
+                    # interpret off-TPU so the flag is portable in tests
+                    interpret=jax.default_backend() != "tpu",
+                )
+                layer_input = stacked  # unused (single layer)
+                break
 
             if self.cell_type == "lstm":
                 c0 = jnp.zeros_like(h0)

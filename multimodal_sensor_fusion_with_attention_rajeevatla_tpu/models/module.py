@@ -53,6 +53,7 @@ class MultimodalFusionModel(nn.Module):
     dropout: float = 0.1
     layer_norm: bool = True
     grouped_encoders: bool = True
+    pallas_rnn: bool = False  # Pallas recurrence kernel on inference calls
 
     def setup(self):
         configs = {k: dict(v) for k, v in dict(self.encoder_configs).items()}
@@ -68,6 +69,7 @@ class MultimodalFusionModel(nn.Module):
                     num_layers=1,
                     cell_type=shared["encoder_type"],
                     dropout=self.dropout,
+                    use_pallas=self.pallas_rnn,
                     name="grouped_rnn",
                 )
         grouped = set(self._grouped_names)
@@ -246,4 +248,5 @@ class MultimodalFusionModel(nn.Module):
             dropout=float(model_cfg.get("dropout", 0.1)),
             layer_norm=bool(model_cfg.get("layer_norm", False)),
             grouped_encoders=bool(model_cfg.get("grouped_encoders", True)),
+            pallas_rnn=bool(model_cfg.get("pallas_rnn", False)),
         )

@@ -73,3 +73,101 @@ def test_fused_head_nondivisible_batch(hybrid_setup):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(expected), rtol=2e-4, atol=2e-5
     )
+
+
+class TestGroupedLSTMKernel:
+    def _make(self, G=2, B=8, T=24, H=16):
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        x_proj = jnp.asarray(rng.standard_normal((T, G, B, 4 * H)) * 0.3, jnp.float32)
+        w_hh = jnp.asarray(rng.standard_normal((G, H, 4 * H)) * 0.1, jnp.float32)
+        b_hh = jnp.asarray(rng.standard_normal((G, 4 * H)) * 0.1, jnp.float32)
+        return x_proj, w_hh, b_hh
+
+    @staticmethod
+    def _scan_oracle(x_proj, w_hh, b_hh, lengths):
+        G, B, H = w_hh.shape[0], x_proj.shape[2], w_hh.shape[1]
+
+        def step(carry, xs):
+            xp, t = xs
+            h, c = carry
+            z = xp + jnp.einsum("gbh,ghk->gbk", h, w_hh) + b_hh[:, None, :]
+            i, f, g, o = jnp.split(z, 4, axis=-1)
+            i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+            g = jnp.tanh(g)
+            c_new = f * c + i * g
+            h_new = o * jnp.tanh(c_new)
+            keep = (t < lengths).astype(jnp.float32)[None, :, None]
+            return (keep * h_new + (1 - keep) * h, keep * c_new + (1 - keep) * c), None
+
+        init = (jnp.zeros((G, B, H)), jnp.zeros((G, B, H)))
+        (h, _), _ = jax.lax.scan(step, init, (x_proj, jnp.arange(x_proj.shape[0])))
+        return h
+
+    def test_full_length_matches_scan(self):
+        x_proj, w_hh, b_hh = self._make()
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_rnn import (
+            grouped_lstm_forward,
+        )
+
+        lengths = jnp.full((8,), 24, jnp.int32)
+        want = self._scan_oracle(x_proj, w_hh, b_hh, lengths)
+        got = grouped_lstm_forward(x_proj, w_hh, b_hh, lengths, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+    def test_per_row_lengths_freeze_carry(self):
+        x_proj, w_hh, b_hh = self._make()
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_rnn import (
+            grouped_lstm_forward,
+        )
+
+        lengths = jnp.asarray([24, 13, 1, 24, 7, 24, 24, 18], jnp.int32)
+        want = self._scan_oracle(x_proj, w_hh, b_hh, lengths)
+        got = grouped_lstm_forward(x_proj, w_hh, b_hh, lengths, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+    def test_nondivisible_block(self):
+        x_proj, w_hh, b_hh = self._make(T=22)
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_rnn import (
+            grouped_lstm_forward,
+        )
+
+        lengths = jnp.full((8,), 22, jnp.int32)
+        want = self._scan_oracle(x_proj, w_hh, b_hh, lengths)
+        got = grouped_lstm_forward(x_proj, w_hh, b_hh, lengths, block_t=4, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+    def test_module_pallas_flag_matches_scan_path(self, tiny_model_cfg):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.models.module import (
+            MultimodalFusionModel,
+        )
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.utils.config import (
+            ConfigNode,
+        )
+
+        cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+        cfg.set_dotted(
+            "model.encoders",
+            {
+                "sensor1": {"type": "sequence", "encoder_type": "lstm", "num_layers": 1},
+                "sensor2": {"type": "sequence", "encoder_type": "lstm", "num_layers": 1},
+            },
+        )
+        feats = {
+            "sensor1": jnp.asarray(
+                np.random.default_rng(0).standard_normal((4, 12, 8)), jnp.float32
+            ),
+            "sensor2": jnp.asarray(
+                np.random.default_rng(1).standard_normal((4, 12, 8)), jnp.float32
+            ),
+        }
+        lengths = jnp.asarray([12, 6, 12, 3], jnp.int32)
+        rng = jax.random.PRNGKey(0)
+        scan_model = MultimodalFusionModel.from_config(cfg)
+        variables = scan_model.init({"params": rng, "dropout": rng}, feats, None, lengths)
+        cfg.set_dotted("model.pallas_rnn", True)
+        pallas_model = MultimodalFusionModel.from_config(cfg)
+        want = scan_model.apply(variables, feats, None, lengths, train=False)
+        got = pallas_model.apply(variables, feats, None, lengths, train=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
