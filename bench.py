@@ -99,6 +99,8 @@ def build_model():
                 "num_heads": 4,
                 "dropout": 0.1,
                 "layer_norm": True,
+                "grouped_encoders": os.environ.get("BENCH_GROUPED", "1") == "1",
+                "pallas_rnn": os.environ.get("BENCH_PALLAS_RNN", "0") == "1",
                 "encoders": {
                     m: {
                         "type": "sequence",

@@ -123,17 +123,20 @@ def measure_inference_latency(
     def forward(variables, data, idx):
         features, labels, lengths = data.gather(idx)
         mask = jnp.ones((idx.shape[0], len(data.modalities)), jnp.float32)
-        return model.apply(variables, features, mask, lengths, train=False)
+        logits = model.apply(variables, features, mask, lengths, train=False)
+        # scalar checksum: fetching it to host is the only honest fence on
+        # remote backends where block_until_ready can return early
+        return jnp.sum(logits)
 
     idx0 = jnp.asarray(idx_mat[0])
     for _ in range(warmup):
-        forward(variables, data, idx0).block_until_ready()
+        float(forward(variables, data, idx0))
 
     per_sample_ms: List[float] = []
     for s in range(steps):
         idx = jnp.asarray(idx_mat[s])
         t0 = time.perf_counter()
-        forward(variables, data, idx).block_until_ready()
+        float(forward(variables, data, idx))
         elapsed = time.perf_counter() - t0
         per_sample_ms.append(elapsed / batch_size * 1000.0)
     if not per_sample_ms:

@@ -102,17 +102,17 @@ class GroupedRNNEncoder(nn.Module):
                 and self.cell_type == "lstm"
                 and self.num_layers == 1
             ):
-                from ..ops.pallas_rnn import grouped_lstm_forward
+                from ..ops.pallas_rnn import grouped_lstm_fused
 
-                final_state = grouped_lstm_forward(
-                    x_proj,
+                final_state = grouped_lstm_fused(
+                    layer_input.transpose(2, 0, 1, 3),  # [G,B,T,D] -> [T,G,B,D]
+                    w_ih,
                     w_hh,
-                    b_hh,
+                    b_ih + b_hh,  # LSTM gate biases are purely additive
                     lengths=lengths if lengths is not None else None,
                     # interpret off-TPU so the flag is portable in tests
                     interpret=jax.default_backend() != "tpu",
                 )
-                layer_input = stacked  # unused (single layer)
                 break
 
             if self.cell_type == "lstm":

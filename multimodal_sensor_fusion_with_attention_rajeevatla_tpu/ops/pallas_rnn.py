@@ -83,6 +83,134 @@ def _lstm_kernel(
         out_ref[:] = h_ref[:]
 
 
+def _lstm_fused_kernel(
+    x_ref,          # VMEM [block_t, G, B, D] streamed raw inputs
+    wih_ref,        # VMEM [G, D, 4H]
+    whh_ref,        # VMEM [G, H, 4H]
+    bias_ref,       # VMEM [G, 4H] combined b_ih + b_hh
+    len_ref,        # VMEM [B, 1] int32 per-row valid lengths
+    out_ref,        # VMEM [G, B, H] final hidden state
+    h_ref,          # scratch VMEM [G, B, H]
+    c_ref,          # scratch VMEM [G, B, H]
+    xp_ref,         # scratch VMEM [G, block_t * B, 4H] block input projections
+    *,
+    block_t: int,
+    groups: int,
+    hidden: int,
+):
+    step0 = pl.program_id(0) * block_t
+    num_blocks = pl.num_programs(0)
+    batch = h_ref.shape[1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        h_ref[:] = jnp.zeros_like(h_ref)
+        c_ref[:] = jnp.zeros_like(c_ref)
+
+    # input projection for the whole block: one [block_t*B, D] x [D, 4H]
+    # MXU matmul per group (the HBM-heavy x_proj materialisation the XLA
+    # path needs simply never exists)
+    for g in range(groups):
+        xg = x_ref[:, g]  # [block_t, B, D]
+        xg2 = xg.reshape(block_t * batch, xg.shape[-1])
+        xp_ref[g] = jnp.dot(
+            xg2, wih_ref[g], preferred_element_type=jnp.float32
+        )
+
+    lengths = len_ref[:]  # [B, 1]
+
+    def step(t, _):
+        keep = ((step0 + t) < lengths).astype(jnp.float32)  # [B, 1]
+        for g in range(groups):
+            xp = xp_ref[g, pl.ds(t * batch, batch), :]  # [B, 4H]
+            h = h_ref[g]
+            c = c_ref[g]
+            z = (
+                xp
+                + jnp.dot(h, whh_ref[g], preferred_element_type=jnp.float32)
+                + bias_ref[g : g + 1, :]
+            )
+            i = jax.nn.sigmoid(z[:, 0 * hidden : 1 * hidden])
+            f = jax.nn.sigmoid(z[:, 1 * hidden : 2 * hidden])
+            gg = jnp.tanh(z[:, 2 * hidden : 3 * hidden])
+            o = jax.nn.sigmoid(z[:, 3 * hidden : 4 * hidden])
+            c_new = f * c + i * gg
+            h_new = o * jnp.tanh(c_new)
+            h_ref[g] = keep * h_new + (1.0 - keep) * h
+            c_ref[g] = keep * c_new + (1.0 - keep) * c
+        return 0
+
+    jax.lax.fori_loop(0, block_t, step, 0)
+
+    @pl.when(pl.program_id(0) == num_blocks - 1)
+    def _emit():
+        out_ref[:] = h_ref[:]
+
+
+def grouped_lstm_fused(
+    x: jax.Array,  # [T, G, B, D] raw (feature-padded) inputs
+    w_ih: jax.Array,  # [G, D, 4H]
+    w_hh: jax.Array,  # [G, H, 4H]
+    bias: jax.Array,  # [G, 4H] combined input+hidden bias
+    lengths: jax.Array | None = None,  # [B]
+    block_t: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fully-fused grouped LSTM: in-kernel input projection + recurrence.
+
+    HBM traffic is just the raw ``x`` (tens of MB) instead of the ``x_proj``
+    tensor (~1 GB for the PAMAP2 flagship shapes) — the input projection is
+    computed block-wise in VMEM. Returns final hidden ``[G, B, H]``.
+    """
+    seq_len, groups, batch, _ = x.shape
+    hidden = w_hh.shape[1]
+    if seq_len % block_t:
+        pad = block_t - seq_len % block_t
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0), (0, 0)))
+    padded_len = x.shape[0]
+    if lengths is None:
+        lengths = jnp.full((batch,), seq_len, jnp.int32)
+    lengths_col = lengths.astype(jnp.int32).reshape(batch, 1)
+
+    kernel = functools.partial(
+        _lstm_fused_kernel, block_t=block_t, groups=groups, hidden=hidden
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(padded_len // block_t,),
+        in_specs=[
+            pl.BlockSpec(
+                (block_t, groups, batch, x.shape[-1]),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((groups, batch, hidden), jnp.float32),
+            pltpu.VMEM((groups, batch, hidden), jnp.float32),
+            pltpu.VMEM((groups, block_t * batch, 4 * hidden), jnp.float32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((groups, batch, hidden), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * padded_len * groups * batch * hidden * (4 * hidden + 4 * x.shape[-1]),
+            bytes_accessed=x.size * 4 + w_hh.size * 4 + w_ih.size * 4,
+            transcendentals=padded_len * groups * batch * hidden * 4,
+        ),
+    )(
+        x.astype(jnp.float32),
+        w_ih.astype(jnp.float32),
+        w_hh.astype(jnp.float32),
+        bias.astype(jnp.float32),
+        lengths_col,
+    )
+
+
 def grouped_lstm_forward(
     x_proj: jax.Array,  # [T, G, B, 4H] precomputed input projections (+b_ih)
     w_hh: jax.Array,  # [G, H, 4H]
