@@ -386,7 +386,7 @@ def run_evaluation(
     print("Creating dataloaders...")
     from .cli import _dataset_kwargs
 
-    _train_w, _val_w, test_w = create_datasets(**_dataset_kwargs(config))
+    _train_w, val_w, test_w = create_datasets(**_dataset_kwargs(config))
     test_data = device_put_split(test_w)
     batch_size = int(config.dataset.get("batch_size", 32))
 
@@ -474,6 +474,38 @@ def run_evaluation(
         "num_bins": num_bins,
         "calibration_plot": str(calibration_plot),
     }
+
+    unc_cfg = config.get("uncertainty", {}) or {}
+    if bool(unc_cfg.get("temperature_scaling", False)):
+        # Post-hoc temperature scaling: fit T on the validation split, report
+        # calibrated test metrics (the reference declares this config but the
+        # report's "<0.03 ECE after temperature scaling" was computed offline).
+        from .uncertainty import TemperatureScaling
+
+        print("\nFitting temperature scaling on the validation split...")
+        val_data = device_put_split(val_w)
+        val_logits = forward_all(model, variables, val_data, batch_size)
+        ts = TemperatureScaling()
+        ts.calibrate(val_logits, np.asarray(val_data.labels))
+        scaled = np.asarray(ts(logits))
+        scaled_probs = np.asarray(jax.nn.softmax(jnp.asarray(scaled), axis=-1))
+        scaled_conf = scaled_probs.max(-1)
+        scaled_preds = scaled_probs.argmax(-1)
+        uncertainty_results.update(
+            {
+                "temperature": float(ts.temperature),
+                "ece_after_temperature_scaling": CalibrationMetrics.expected_calibration_error(
+                    scaled_conf, scaled_preds, labels, num_bins
+                ),
+                "nll_after_temperature_scaling": CalibrationMetrics.negative_log_likelihood(
+                    scaled, labels
+                ),
+            }
+        )
+        print(
+            f"T={uncertainty_results['temperature']:.3f}  "
+            f"ECE {ece:.4f} -> {uncertainty_results['ece_after_temperature_scaling']:.4f}"
+        )
     save_results_json(uncertainty_results, Path(output_dir) / "uncertainty.json")
     print("\nEvaluation complete!")
     return standard_results

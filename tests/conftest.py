@@ -86,6 +86,8 @@ def tiny_model_cfg(tmp_path_factory):
                 "augmentation": {"modality_dropout": 0.1},
             },
             "evaluation": {"num_calibration_bins": 15},
+            "uncertainty": {"method": "dropout", "num_mc_samples": 4,
+                            "temperature_scaling": True},
             "experiment": {"name": "test_exp", "save_dir": str(tmp), "save_top_k": 2},
             "seed": 42,
         }

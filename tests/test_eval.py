@@ -207,6 +207,8 @@ class TestEvalCLI:
         assert eval_json["fusion_type"] == "hybrid"
         unc = json.loads((exp_dir / "uncertainty.json").read_text())
         assert set(unc) >= {"ece", "mce", "nll", "num_bins", "calibration_plot"}
+        assert unc["temperature"] >= 1e-3
+        assert "ece_after_temperature_scaling" in unc
         missing = json.loads((exp_dir / "missing_modality.json").read_text())
         assert "modality_importance" in missing
         assert (tmp_path / "analysis" / "hybrid" / "calibration.png").exists()
