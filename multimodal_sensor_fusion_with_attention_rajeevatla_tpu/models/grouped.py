@@ -51,6 +51,9 @@ class GroupedRNNEncoder(nn.Module):
     # non-training calls. Parameters are identical either way, so checkpoints
     # are interchangeable; training always uses the autodiff-able XLA scan.
     use_pallas: bool = False
+    # bf16 matmuls in the recurrence (params stay f32; carries accumulate in
+    # f32). Halves activation bandwidth on TPU; off by default for bit parity.
+    mixed_precision: bool = False
 
     @nn.compact
     def __call__(
@@ -90,9 +93,22 @@ class GroupedRNNEncoder(nn.Module):
                 f"bias_hh_l{layer}", _grouped_uniform(scale), (groups, gates * hidden)
             )
 
+            # bf16 dot support varies off-TPU (the CPU thunk rejects
+            # BF16xBF16=F32), so mixed precision only engages on TPU
+            compute_dtype = (
+                jnp.bfloat16
+                if self.mixed_precision and jax.default_backend() == "tpu"
+                else stacked.dtype
+            )
+
             # one big grouped matmul feeds the whole scan: [G,B,T,D]x[G,D,GH]
-            x_proj = jnp.einsum("gbtd,gdh->tgbh", layer_input, w_ih)
-            x_proj = x_proj + b_ih[None, :, None, :]
+            x_proj = jnp.einsum(
+                "gbtd,gdh->tgbh",
+                layer_input.astype(compute_dtype),
+                w_ih.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            x_proj = (x_proj + b_ih[None, :, None, :]).astype(compute_dtype)
 
             h0 = jnp.zeros((groups, batch, hidden), stacked.dtype)
 
@@ -118,10 +134,21 @@ class GroupedRNNEncoder(nn.Module):
             if self.cell_type == "lstm":
                 c0 = jnp.zeros_like(h0)
 
+                w_hh_c = w_hh.astype(compute_dtype)
+
                 def lstm_step(carry, xs):
                     h, c = carry
                     xp, valid = xs
-                    z = xp + jnp.einsum("gbh,ghk->gbk", h, w_hh) + b_hh[:, None, :]
+                    z = (
+                        xp.astype(jnp.float32)
+                        + jnp.einsum(
+                            "gbh,ghk->gbk",
+                            h.astype(compute_dtype),
+                            w_hh_c,
+                            preferred_element_type=jnp.float32,
+                        )
+                        + b_hh[:, None, :]
+                    )
                     i, f, g, o = jnp.split(z, 4, axis=-1)
                     i, f, o = nn.sigmoid(i), nn.sigmoid(f), nn.sigmoid(o)
                     g = jnp.tanh(g)
@@ -143,12 +170,23 @@ class GroupedRNNEncoder(nn.Module):
                     )
             else:
 
+                w_hh_c = w_hh.astype(compute_dtype)
+
                 def gru_step(carry, xs):
                     h = carry
                     xp, valid = xs
+                    xp = xp.astype(jnp.float32)
                     # hidden bias stays on the hidden path: the GRU candidate
                     # gate applies r AFTER adding b_hh (torch semantics)
-                    hp = jnp.einsum("gbh,ghk->gbk", h, w_hh) + b_hh[:, None, :]
+                    hp = (
+                        jnp.einsum(
+                            "gbh,ghk->gbk",
+                            h.astype(compute_dtype),
+                            w_hh_c,
+                            preferred_element_type=jnp.float32,
+                        )
+                        + b_hh[:, None, :]
+                    )
                     xr, xz, xn = jnp.split(xp, 3, axis=-1)
                     hr, hz, hn = jnp.split(hp, 3, axis=-1)
                     r = nn.sigmoid(xr + hr)

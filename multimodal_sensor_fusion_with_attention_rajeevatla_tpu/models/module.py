@@ -54,6 +54,7 @@ class MultimodalFusionModel(nn.Module):
     layer_norm: bool = True
     grouped_encoders: bool = True
     pallas_rnn: bool = False  # Pallas recurrence kernel on inference calls
+    mixed_precision: bool = False  # bf16 matmuls in the grouped recurrence
 
     def setup(self):
         configs = {k: dict(v) for k, v in dict(self.encoder_configs).items()}
@@ -70,6 +71,7 @@ class MultimodalFusionModel(nn.Module):
                     cell_type=shared["encoder_type"],
                     dropout=self.dropout,
                     use_pallas=self.pallas_rnn,
+                    mixed_precision=self.mixed_precision,
                     name="grouped_rnn",
                 )
         grouped = set(self._grouped_names)
@@ -249,4 +251,5 @@ class MultimodalFusionModel(nn.Module):
             layer_norm=bool(model_cfg.get("layer_norm", False)),
             grouped_encoders=bool(model_cfg.get("grouped_encoders", True)),
             pallas_rnn=bool(model_cfg.get("pallas_rnn", False)),
+            mixed_precision=bool(config.get("mixed_precision", False)),
         )

@@ -180,3 +180,15 @@ class TestResume:
         )
         epochs = [h["epoch"] for h in results["history"]]
         assert epochs == [2, 3]  # continued, not restarted
+
+
+class TestDeterminism:
+    def test_same_seed_same_history(self, tiny_model_cfg, tmp_path):
+        cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+        cfg.set_dotted("training.max_epochs", 2)
+        train_w, val_w, _ = _splits(num=32)
+        r1 = Trainer(cfg).fit(train_w, val_w, save_dir=tmp_path / "a", log_fn=None)
+        r2 = Trainer(cfg).fit(train_w, val_w, save_dir=tmp_path / "b", log_fn=None)
+        for h1, h2 in zip(r1["history"], r2["history"]):
+            assert h1["train/loss"] == pytest.approx(h2["train/loss"], rel=1e-6)
+            assert h1["val/loss"] == pytest.approx(h2["val/loss"], rel=1e-6)
