@@ -476,6 +476,32 @@ def run_evaluation(
     }
 
     unc_cfg = config.get("uncertainty", {}) or {}
+    if (
+        bool(eval_cfg.get("uncertainty_analysis", False))
+        and str(unc_cfg.get("method", "dropout")) == "dropout"
+    ):
+        # Epistemic uncertainty via MC dropout over (a slice of) the test set.
+        from .uncertainty import MCDropoutUncertainty
+
+        print("\nMC-dropout uncertainty analysis...")
+        num_mc = int(unc_cfg.get("num_mc_samples", 10))
+        mcd = MCDropoutUncertainty(model, variables, num_samples=num_mc)
+        n_probe = min(test_data.num_windows, 4 * batch_size)
+        idx = jnp.arange(n_probe, dtype=jnp.int32)
+        probe_feats, _probe_labels, probe_lengths = test_data.gather(idx)
+        probe_mask = jnp.ones((n_probe, len(test_data.modalities)), jnp.float32)
+        _mean_logits, variance = mcd(probe_feats, probe_mask, probe_lengths)
+        uncertainty_results["mc_dropout"] = {
+            "num_samples": num_mc,
+            "mean_uncertainty": float(jnp.mean(variance)),
+            "max_uncertainty": float(jnp.max(variance)),
+            "num_windows": int(n_probe),
+        }
+        print(
+            f"mean predictive variance over {n_probe} windows: "
+            f"{uncertainty_results['mc_dropout']['mean_uncertainty']:.5f}"
+        )
+
     if bool(unc_cfg.get("temperature_scaling", False)):
         # Post-hoc temperature scaling: fit T on the validation split, report
         # calibrated test metrics (the reference declares this config but the

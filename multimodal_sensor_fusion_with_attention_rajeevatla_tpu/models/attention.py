@@ -326,3 +326,24 @@ def visualize_attention(
         plt.close(fig)
     else:
         plt.show()
+
+
+if __name__ == "__main__":
+    import jax
+
+    print("Testing attention mechanisms...")
+    rng = jax.random.PRNGKey(0)
+    q = jnp.ones((2, 6))
+    k = jnp.ones((2, 4))
+    cma = CrossModalAttention(hidden_dim=8, num_heads=2)
+    out, w = cma.apply(cma.init(rng, q, k, k), q, k, k)
+    print("  CrossModalAttention:", out.shape, w.shape)
+    seq = jnp.ones((2, 5, 6))
+    ta = TemporalAttention(hidden_dim=8, num_heads=2)
+    out, w = ta.apply(ta.init(rng, seq), seq)
+    print("  TemporalAttention:", out.shape, w.shape)
+    pma = PairwiseModalityAttention(modality_names=("a", "b"), hidden_dim=8, num_heads=2)
+    feats = {"a": jnp.ones((2, 6)), "b": jnp.ones((2, 6))}
+    att, maps = pma.apply(pma.init(rng, feats), feats)
+    print("  PairwiseModalityAttention:", sorted(att), sorted(maps))
+    print("Attention OK")

@@ -392,3 +392,24 @@ def build_encoder(
     if modality_key in _SEQUENCE_MODALITIES or modality_key.startswith("imu_"):
         return make_sequence()
     return make_mlp()
+
+
+if __name__ == "__main__":
+    # Tiny smoke demo (mirrors the reference module demos).
+    import jax
+
+    print("Testing encoders...")
+    rng = jax.random.PRNGKey(0)
+    seq = jnp.ones((2, 6, 5))
+    for enc_type in ("lstm", "gru", "cnn", "transformer"):
+        enc = SequenceEncoder(
+            hidden_dim=8, output_dim=4, num_layers=1, encoder_type=enc_type
+        )
+        out = enc.apply(enc.init(rng, seq), seq)
+        print(f"  SequenceEncoder[{enc_type}]: {out.shape}")
+    frame = FrameEncoder(hidden_dim=8, output_dim=4)
+    print("  FrameEncoder:", frame.apply(frame.init(rng, seq), seq).shape)
+    mlp = SimpleMLPEncoder(hidden_dim=8, output_dim=4)
+    flat = jnp.ones((2, 5))
+    print("  SimpleMLPEncoder:", mlp.apply(mlp.init(rng, flat), flat).shape)
+    print("Encoders OK")

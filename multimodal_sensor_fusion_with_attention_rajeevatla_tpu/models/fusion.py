@@ -295,3 +295,20 @@ def build_fusion_model(
         num_classes=num_classes,
         **fusion_kwargs,
     )
+
+
+if __name__ == "__main__":
+    import jax
+
+    print("Testing fusion architectures...")
+    rng = jax.random.PRNGKey(0)
+    feats = {"video": jnp.ones((2, 6)), "imu": jnp.ones((2, 4))}
+    mask = jnp.asarray([[1.0, 1.0], [1.0, 0.0]])
+    for fusion_type in ("early", "late", "hybrid"):
+        model = build_fusion_model(
+            fusion_type, {"video": 6, "imu": 4}, num_classes=3, hidden_dim=8
+        )
+        out = model.apply(model.init(rng, feats, mask), feats, mask)
+        logits = out[0] if isinstance(out, tuple) else out
+        print(f"  {fusion_type}: {logits.shape}")
+    print("Fusion OK")

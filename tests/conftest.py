@@ -85,7 +85,7 @@ def tiny_model_cfg(tmp_path_factory):
                 "label_smoothing": 0.05,
                 "augmentation": {"modality_dropout": 0.1},
             },
-            "evaluation": {"num_calibration_bins": 15},
+            "evaluation": {"num_calibration_bins": 15, "uncertainty_analysis": True},
             "uncertainty": {"method": "dropout", "num_mc_samples": 4,
                             "temperature_scaling": True},
             "experiment": {"name": "test_exp", "save_dir": str(tmp), "save_top_k": 2},

@@ -209,6 +209,8 @@ class TestEvalCLI:
         assert set(unc) >= {"ece", "mce", "nll", "num_bins", "calibration_plot"}
         assert unc["temperature"] >= 1e-3
         assert "ece_after_temperature_scaling" in unc
+        assert unc["mc_dropout"]["num_samples"] == 4
+        assert unc["mc_dropout"]["mean_uncertainty"] >= 0
         missing = json.loads((exp_dir / "missing_modality.json").read_text())
         assert "modality_importance" in missing
         assert (tmp_path / "analysis" / "hybrid" / "calibration.png").exists()
