@@ -15,4 +15,8 @@ from .dataset import (  # noqa: F401
     resolve_modality_columns,
     simulate_missing_modalities,
 )
-from .device import DeviceSplit, device_put_split  # noqa: F401
+from .device import (  # noqa: F401
+    DeviceSplit,
+    StreamingDeviceLoader,
+    device_put_split,
+)

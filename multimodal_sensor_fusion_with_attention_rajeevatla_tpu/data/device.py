@@ -45,6 +45,56 @@ class DeviceSplit(struct.PyTreeNode):
         return features, labels, lengths
 
 
+class StreamingDeviceLoader:
+    """Double-buffered host->device batch streaming for HBM-exceeding data.
+
+    The default path keeps the whole windowed split in HBM. When a dataset
+    outgrows device memory, this loader pipelines instead: while the device
+    computes on batch ``t``, batch ``t+1``'s ``device_put`` is already in
+    flight (JAX transfers are async; we simply enqueue one batch ahead and
+    never synchronise on the host copy). Yields the same
+    ``(features, labels, mask, lengths, weight)`` tuples as ``BatchLoader``
+    but as device arrays.
+    """
+
+    def __init__(
+        self,
+        loader,  # a BatchLoader (or any iterable of host batch tuples)
+        sharding: Optional[jax.sharding.Sharding] = None,
+    ):
+        self.loader = loader
+        self.sharding = sharding
+
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    def _put(self, batch):
+        def put(x):
+            arr = jnp.asarray(x)
+            if self.sharding is not None:
+                arr = jax.device_put(arr, self.sharding)
+            return arr
+
+        features, labels, mask, lengths, weight = batch
+        return (
+            {m: put(v) for m, v in features.items()},
+            put(labels),
+            put(mask),
+            put(lengths),
+            put(weight),
+        )
+
+    def __iter__(self):
+        pending = None
+        for batch in self.loader:
+            ready = pending
+            pending = self._put(batch)  # async: overlaps with compute on `ready`
+            if ready is not None:
+                yield ready
+        if pending is not None:
+            yield pending
+
+
 def device_put_split(
     windows: WindowedSplit,
     sharding: Optional[jax.sharding.Sharding] = None,

@@ -260,3 +260,25 @@ def test_stratified_split_covers_activities():
     total_train = sum(r for _, r in assignments["train"])
     total = sum(r for _, r, _ in shards)
     assert 0.55 < total_train / total < 0.85
+
+
+def test_streaming_device_loader_yields_all_batches():
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.data.dataset import (
+        BatchLoader,
+    )
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.data.device import (
+        StreamingDeviceLoader,
+    )
+
+    ds = SyntheticMultimodalDataset(num_samples=10, sequence_length=4)
+    loader = BatchLoader(ds.windows, batch_size=4)
+    streaming = StreamingDeviceLoader(loader)
+    batches = list(streaming)
+    assert len(batches) == len(loader) == 3
+    f, l, m, ln, w = batches[-1]
+    assert f["sensor1"].shape == (4, 4, 32)
+    assert w.tolist() == [1.0, 1.0, 0.0, 0.0]
+    # device arrays, not numpy
+    import jax
+
+    assert isinstance(l, jax.Array)
