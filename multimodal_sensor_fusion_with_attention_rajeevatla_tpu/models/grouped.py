@@ -158,14 +158,14 @@ class GroupedRNNEncoder(nn.Module):
                         keep = valid[None, :, None]
                         h_new = keep * h_new + (1 - keep) * h
                         c_new = keep * c_new + (1 - keep) * c
-                    return (h_new, c_new), None
+                    return (h_new, c_new), h_new
 
                 if step_valid is None:
-                    (h_final, _), _ = jax.lax.scan(
+                    (h_final, _), outputs = jax.lax.scan(
                         lambda carry, xp: lstm_step(carry, (xp, None)), (h0, c0), x_proj
                     )
                 else:
-                    (h_final, _), _ = jax.lax.scan(
+                    (h_final, _), outputs = jax.lax.scan(
                         lstm_step, (h0, c0), (x_proj, step_valid)
                     )
             else:
@@ -196,23 +196,23 @@ class GroupedRNNEncoder(nn.Module):
                     if valid is not None:
                         keep = valid[None, :, None]
                         h_new = keep * h_new + (1 - keep) * h
-                    return h_new, None
+                    return h_new, h_new
 
                 if step_valid is None:
-                    h_final, _ = jax.lax.scan(
+                    h_final, outputs = jax.lax.scan(
                         lambda carry, xp: gru_step(carry, (xp, None)), h0, x_proj
                     )
                 else:
-                    h_final, _ = jax.lax.scan(gru_step, h0, (x_proj, step_valid))
+                    h_final, outputs = jax.lax.scan(gru_step, h0, (x_proj, step_valid))
 
             final_state = h_final  # [G, B, H]
             if layer < self.num_layers - 1:
-                # multi-layer: feed the full per-step outputs forward; recompute
-                # outputs via a second scan would double work, so collect them.
-                raise NotImplementedError(
-                    "GroupedRNNEncoder supports num_layers=1; deeper stacks use "
-                    "the per-modality SequenceEncoder path."
-                )
+                # feed per-step outputs [T,G,B,H] to the next layer as
+                # [G,B,T,H], with torch-style inter-layer dropout
+                layer_input = outputs.transpose(1, 2, 0, 3)
+                layer_input = nn.Dropout(
+                    self.dropout, deterministic=not train
+                )(layer_input)
 
         assert final_state is not None
         dropped = nn.Dropout(self.dropout, deterministic=not train)(final_state)
@@ -247,7 +247,7 @@ def groupable_modalities(
             continue
         cell = cfg.get("encoder_type", "lstm")
         layers = int(cfg.get("num_layers", 2))
-        if cell not in ("lstm", "gru") or layers != 1:
+        if cell not in ("lstm", "gru"):
             continue
         signatures.add((cell, cfg.get("hidden_dim"), layers))
         candidates.append(name)

@@ -67,7 +67,7 @@ class MultimodalFusionModel(nn.Module):
                     num_groups=len(names),
                     hidden_dim=int(shared.get("hidden_dim") or self.hidden_dim),
                     output_dim=self.output_dim,
-                    num_layers=1,
+                    num_layers=int(shared.get("num_layers") or 1),
                     cell_type=shared["encoder_type"],
                     dropout=self.dropout,
                     use_pallas=self.pallas_rnn,

@@ -135,12 +135,17 @@ def test_grouped_zero_pad_inert():
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
 
 
-def test_multilayer_grouped_raises():
+def test_multilayer_grouped_runs():
     grouped = GroupedRNNEncoder(
-        num_groups=2, hidden_dim=8, output_dim=4, num_layers=2, cell_type="lstm"
+        num_groups=2, hidden_dim=8, output_dim=4, num_layers=2, cell_type="lstm",
+        dropout=0.0,
     )
-    with pytest.raises(NotImplementedError, match="num_layers=1"):
-        grouped.init(jax.random.PRNGKey(0), jnp.ones((2, B, T, 5)))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, B, T, 5)), jnp.float32)
+    v = grouped.init(jax.random.PRNGKey(0), x)
+    assert "weight_ih_l1" in v["params"]
+    out = grouped.apply(v, x)
+    assert out.shape == (2, B, 4)
+    assert bool(jnp.isfinite(out).all())
 
 
 def test_module_grouped_flag_off_uses_individual_encoders(tiny_model_cfg):
@@ -172,4 +177,42 @@ def test_module_grouped_flag_off_uses_individual_encoders(tiny_model_cfg):
     assert "grouped_rnn" not in vp["params"]
     assert "encoder_sensor1" in vp["params"] or any(
         "sensor1" in k for k in vp["params"]
+    )
+
+
+@pytest.mark.parametrize("cell", ["lstm", "gru"])
+def test_multilayer_grouped_matches_individual(cell):
+    """2-layer grouped stack equals two independent 2-layer SequenceEncoders."""
+    hidden, out = 8, 4
+    rng = jax.random.PRNGKey(0)
+    x_a = jnp.asarray(np.random.default_rng(2).standard_normal((B, T, 5)), jnp.float32)
+    x_b = jnp.asarray(np.random.default_rng(3).standard_normal((B, T, 5)), jnp.float32)
+    enc_a = SequenceEncoder(hidden_dim=hidden, output_dim=out, num_layers=2,
+                            encoder_type=cell, dropout=0.0)
+    enc_b = SequenceEncoder(hidden_dim=hidden, output_dim=out, num_layers=2,
+                            encoder_type=cell, dropout=0.0)
+    va = enc_a.init(rng, x_a)
+    vb = enc_b.init(jax.random.PRNGKey(1), x_b)
+    grouped = GroupedRNNEncoder(num_groups=2, hidden_dim=hidden, output_dim=out,
+                                num_layers=2, cell_type=cell, dropout=0.0)
+    gparams = {}
+    for layer in (0, 1):
+        for key in (f"weight_ih_l{layer}", f"weight_hh_l{layer}",
+                    f"bias_ih_l{layer}", f"bias_hh_l{layer}"):
+            gparams[key] = jnp.stack(
+                [va["params"]["rnn"][key], vb["params"]["rnn"][key]]
+            )
+    gparams["proj_kernel"] = jnp.stack(
+        [va["params"]["projection"]["kernel"], vb["params"]["projection"]["kernel"]]
+    )
+    gparams["proj_bias"] = jnp.stack(
+        [va["params"]["projection"]["bias"], vb["params"]["projection"]["bias"]]
+    )
+    stacked = jnp.stack([x_a, x_b], axis=0)
+    got = grouped.apply({"params": gparams}, stacked)
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(enc_a.apply(va, x_a)), rtol=3e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[1]), np.asarray(enc_b.apply(vb, x_b)), rtol=3e-5, atol=1e-6
     )
