@@ -313,6 +313,8 @@ class Trainer:
         log_fn: Optional[Callable[[str], None]] = print,
         resume_from: Optional[str | Path] = None,
     ) -> Dict[str, Any]:
+        if log_fn is print:  # flush through pipes (nohup/CI logs)
+            log_fn = lambda msg: print(msg, flush=True)  # noqa: E731
         cfg = self.config
         max_epochs = int(cfg.training.get("max_epochs", 1))
         patience = int(cfg.training.get("early_stopping_patience", 10))
