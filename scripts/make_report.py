@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Assemble the results report (reference ``report/report.typ`` analogue).
+
+Reads ``experiments/*/evaluation_results.json`` + ``missing_modality.json``
+and the bench JSON (if present) and writes ``report/report.md`` with the
+measured numbers, mirroring the reference report's sections (fusion
+comparison, ablations, missing-modality robustness, calibration, perf).
+
+    python scripts/make_report.py [--experiments experiments] [--out report/report.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+
+def load_json(path: Path):
+    try:
+        return json.loads(path.read_text())
+    except Exception:
+        return None
+
+
+def fmt(x, digits=3):
+    if x is None:
+        return "—"
+    return f"{x:.{digits}f}"
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--experiments", type=str, default="experiments")
+    parser.add_argument("--bench", type=str, default=None, help="bench JSON line file")
+    parser.add_argument("--out", type=str, default="report/report.md")
+    args = parser.parse_args(argv)
+
+    exp = Path(args.experiments)
+    rows = {}
+    missing = {}
+    uncertainty = {}
+    if exp.exists():
+        for d in sorted(p for p in exp.iterdir() if p.is_dir()):
+            ev = load_json(d / "evaluation_results.json")
+            if ev:
+                rows[d.name] = ev
+            mm = load_json(d / "missing_modality.json")
+            if mm:
+                missing[d.name] = mm
+            un = load_json(d / "uncertainty.json")
+            if un:
+                uncertainty[d.name] = un
+
+    bench = None
+    if args.bench and Path(args.bench).exists():
+        bench = load_json(Path(args.bench))
+
+    lines = [
+        "# Results report — TPU-native multimodal sensor fusion",
+        "",
+        "All numbers measured on the shards surviving in the public mirror of",
+        "the reference dataset (27/88 PAMAP2 shards, 5 activities — see",
+        "`docs/notes.md` for why absolute accuracies are not comparable to the",
+        "reference's full-data CI numbers). Training: instance-normalised",
+        "512-step windows, stride 128, gaussian-noise + modality-dropout",
+        "augmentation, AdamW + cosine, early stopping on val loss.",
+        "",
+    ]
+
+    if bench:
+        lines += [
+            "## Throughput (single TPU v5e chip)",
+            "",
+            f"- **{bench['value']:.0f} windows/s** sustained end-to-end forward "
+            f"({bench['metric']}), **{bench['vs_baseline']:.0f}×** the torch-CPU "
+            "re-implementation of the reference hot path "
+            f"({bench.get('baseline_cpu_windows_per_sec', 0):.1f} windows/s).",
+            f"- p50 latency: {bench.get('p50_latency_ms_per_window', 0):.3f} ms/window "
+            f"at batch {bench.get('batch')}.",
+            "",
+        ]
+
+    if rows:
+        lines += [
+            "## Experiment matrix",
+            "",
+            "| experiment | accuracy | macro-F1 | ECE | NLL |",
+            "|---|---|---|---|---|",
+        ]
+        for name, ev in rows.items():
+            lines.append(
+                f"| {name} | {fmt(ev.get('test_accuracy'))} | "
+                f"{fmt(ev.get('test_f1_macro'))} | {fmt(ev.get('ece'))} | "
+                f"{fmt(ev.get('nll'))} |"
+            )
+        lines.append("")
+
+    if uncertainty:
+        calibrated = {
+            k: v for k, v in uncertainty.items() if "ece_after_temperature_scaling" in v
+        }
+        if calibrated:
+            lines += [
+                "## Calibration (post-hoc temperature scaling)",
+                "",
+                "| experiment | T | ECE before | ECE after |",
+                "|---|---|---|---|",
+            ]
+            for name, un in calibrated.items():
+                lines.append(
+                    f"| {name} | {fmt(un.get('temperature'), 2)} | "
+                    f"{fmt(un.get('ece'))} | "
+                    f"{fmt(un.get('ece_after_temperature_scaling'))} |"
+                )
+            lines.append("")
+
+    if missing:
+        lines += ["## Missing-modality robustness", ""]
+        for name, mm in missing.items():
+            full = mm.get("full_modalities", {}).get("accuracy")
+            singles = mm.get("single_modalities", {})
+            best_single = max(
+                (v.get("accuracy", 0) for v in singles.values()), default=None
+            )
+            imp = mm.get("modality_importance", {})
+            top = max(imp, key=lambda k: imp[k]) if imp else "—"
+            lines.append(
+                f"- **{name}**: full-modality accuracy {fmt(full)}, best single "
+                f"modality {fmt(best_single)}, most important modality: {top}."
+            )
+        lines.append("")
+
+    lines += [
+        "## Plots",
+        "",
+        "Generated under `analysis/`: fusion comparison, per-experiment",
+        "missing-modality degradation, calibration reliability diagrams, and",
+        "cross-modal attention heatmaps.",
+        "",
+    ]
+
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text("\n".join(lines))
+    print(f"report written to {out}")
+
+
+if __name__ == "__main__":
+    main()
