@@ -432,6 +432,11 @@ def run_evaluation(
     )
     print(f"Per-sample inference time: {latency_mean_ms:.3f} ± {latency_std_ms:.3f} ms")
 
+    per_class = {}
+    for cls in np.unique(labels):
+        cls_mask = labels == cls
+        per_class[int(cls)] = float((preds[cls_mask] == cls).mean())
+
     standard_results: Dict[str, Any] = {
         "dataset": str(config.dataset.name),
         "fusion_type": fusion_type,
@@ -443,6 +448,8 @@ def run_evaluation(
         "nll": nll,
         "inference_ms_mean": latency_mean_ms,
         "inference_ms_std": latency_std_ms,
+        "per_class_accuracy": per_class,
+        "num_test_windows": int(labels.shape[0]),
     }
     if attention_plot is not None:
         standard_results["attention_plot"] = str(attention_plot)
