@@ -128,6 +128,9 @@ class Trainer:
         self.config = config
         self.model = model or MultimodalFusionModel.from_config(config)
         self.label_smoothing = float(config.training.get("label_smoothing", 0.0))
+        # jax.checkpoint around the forward pass: trades recompute for
+        # activation memory (useful for chunk_size >= 2048 windows)
+        self.remat = bool(config.training.get("remat", False))
         augmentation = config.training.get("augmentation", {}) or {}
         self.modality_dropout = float(augmentation.get("modality_dropout", 0.0))
         # On-device train-time augmentation. (The reference declares these
@@ -175,15 +178,21 @@ class Trainer:
             if self._has_batch_stats:
                 variables["batch_stats"] = state.batch_stats
             mutable = ["batch_stats"] if self._has_batch_stats else False
-            out = self.model.apply(
-                variables,
-                features,
-                mask,
-                lengths,
-                train=True,
-                rngs={"dropout": rng},
-                mutable=mutable,
-            )
+
+            def forward(variables, features):
+                return self.model.apply(
+                    variables,
+                    features,
+                    mask,
+                    lengths,
+                    train=True,
+                    rngs={"dropout": rng},
+                    mutable=mutable,
+                )
+
+            if self.remat:
+                forward = jax.checkpoint(forward)
+            out = forward(variables, features)
             if mutable:
                 logits, updates = out
                 new_batch_stats = updates.get("batch_stats", state.batch_stats)

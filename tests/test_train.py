@@ -192,3 +192,12 @@ class TestDeterminism:
         for h1, h2 in zip(r1["history"], r2["history"]):
             assert h1["train/loss"] == pytest.approx(h2["train/loss"], rel=1e-6)
             assert h1["val/loss"] == pytest.approx(h2["val/loss"], rel=1e-6)
+
+
+def test_remat_flag_trains(tiny_model_cfg, tmp_path):
+    cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+    cfg.set_dotted("training.remat", True)
+    cfg.set_dotted("training.max_epochs", 1)
+    train_w, val_w, _ = _splits(num=32)
+    results = Trainer(cfg).fit(train_w, val_w, save_dir=tmp_path, log_fn=None)
+    assert np.isfinite(results["history"][0]["train/loss"])
