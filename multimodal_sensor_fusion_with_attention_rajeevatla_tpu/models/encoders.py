@@ -151,6 +151,9 @@ class _TransformerEncoderLayer(nn.Module):
     num_heads: int
     dim_feedforward: int = 2048
     dropout: float = 0.1
+    # flash (tiled online-softmax Pallas) attention on inference calls; the
+    # O(T^2) score tensor never materialises (ops/pallas_attention.py)
+    use_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -168,15 +171,33 @@ class _TransformerEncoderLayer(nn.Module):
         q = proj("q_proj")(x).reshape(batch, seq_len, self.num_heads, head_dim)
         k = proj("k_proj")(x).reshape(batch, seq_len, self.num_heads, head_dim)
         v = proj("v_proj")(x).reshape(batch, seq_len, self.num_heads, head_dim)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * head_dim**-0.5
-        mask = None
-        if key_padding_mask is not None:
-            mask = key_padding_mask[:, None, None, :]
-        weights = masked_softmax(scores, mask)
-        weights = nn.Dropout(self.dropout, deterministic=not train)(weights)
-        attended = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(
-            batch, seq_len, self.hidden_dim
-        )
+        if self.use_flash and not train:
+            from ..ops.pallas_attention import flash_self_attention
+
+            # suffix padding -> contiguous valid prefix; mask == lengths
+            lengths = (
+                jnp.sum(key_padding_mask, axis=-1).astype(jnp.int32)
+                if key_padding_mask is not None
+                else None
+            )
+            attended = flash_self_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                lengths,
+                interpret=jax.default_backend() != "tpu",
+            ).transpose(0, 2, 1, 3).reshape(batch, seq_len, self.hidden_dim)
+            attended = attended.astype(x.dtype)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * head_dim**-0.5
+            mask = None
+            if key_padding_mask is not None:
+                mask = key_padding_mask[:, None, None, :]
+            weights = masked_softmax(scores, mask)
+            weights = nn.Dropout(self.dropout, deterministic=not train)(weights)
+            attended = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(
+                batch, seq_len, self.hidden_dim
+            )
         attended = nn.Dense(self.hidden_dim, name="out_proj")(attended)
         x = nn.LayerNorm(name="norm1")(
             x + nn.Dropout(self.dropout, deterministic=not train)(attended)
@@ -203,6 +224,7 @@ class SequenceEncoder(nn.Module):
     num_layers: int = 2
     encoder_type: str = "lstm"
     dropout: float = 0.1
+    flash_attention: bool = False  # Pallas flash attention (transformer path)
 
     def _check(self):
         if self.encoder_type not in ("lstm", "gru", "cnn", "transformer"):
@@ -261,6 +283,7 @@ class SequenceEncoder(nn.Module):
                 hidden_dim=self.hidden_dim,
                 num_heads=nhead,
                 dropout=self.dropout,
+                use_flash=self.flash_attention,
                 name=f"layer{idx}",
             )(x, key_padding_mask=valid_mask, train=train)
         pooled = masked_mean_pool(x, valid_mask, axis=1, min_denom=1.0)
@@ -372,7 +395,8 @@ def build_encoder(
         return FrameEncoder(output_dim=output_dim, **{k: v for k, v in config.items() if k in allowed})
 
     def make_sequence():
-        allowed = {"hidden_dim", "num_layers", "encoder_type", "dropout"}
+        allowed = {"hidden_dim", "num_layers", "encoder_type", "dropout",
+                   "flash_attention"}
         enc = SequenceEncoder(output_dim=output_dim, **{k: v for k, v in config.items() if k in allowed})
         enc._check()
         return enc

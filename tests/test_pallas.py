@@ -171,3 +171,91 @@ class TestGroupedLSTMKernel:
         want = scan_model.apply(variables, feats, None, lengths, train=False)
         got = pallas_model.apply(variables, feats, None, lengths, train=False)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+class TestFlashAttention:
+    @staticmethod
+    def _xla_attention(q, k, v, lengths=None):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.masked import (
+            masked_softmax,
+        )
+
+        d = q.shape[-1]
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * d**-0.5
+        mask = None
+        if lengths is not None:
+            T = q.shape[2]
+            mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)
+            mask = mask[:, None, None, :]
+        w = masked_softmax(scores, mask)
+        return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+    def _rand(self, B=2, H=2, T=64, d=16, seed=0):
+        rng = np.random.default_rng(seed)
+        mk = lambda: jnp.asarray(rng.standard_normal((B, H, T, d)), jnp.float32)  # noqa: E731
+        return mk(), mk(), mk()
+
+    def test_matches_xla_full(self):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_attention import (
+            flash_self_attention,
+        )
+
+        q, k, v = self._rand()
+        got = flash_self_attention(q, k, v, block_q=32, block_k=32, interpret=True)
+        want = self._xla_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
+
+    def test_matches_xla_with_lengths(self):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_attention import (
+            flash_self_attention,
+        )
+
+        q, k, v = self._rand(seed=1)
+        lengths = jnp.asarray([40, 64], jnp.int32)
+        got = flash_self_attention(
+            q, k, v, lengths, block_q=32, block_k=32, interpret=True
+        )
+        want = self._xla_attention(q, k, v, lengths)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
+
+    def test_zero_length_rows_give_zero_output(self):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_attention import (
+            flash_self_attention,
+        )
+
+        q, k, v = self._rand(seed=2)
+        lengths = jnp.asarray([0, 32], jnp.int32)
+        got = flash_self_attention(
+            q, k, v, lengths, block_q=32, block_k=32, interpret=True
+        )
+        assert float(jnp.abs(got[0]).max()) == 0.0
+        assert float(jnp.abs(got[1, :, :32]).max()) > 0.0
+
+    def test_nondivisible_seq_len(self):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_attention import (
+            flash_self_attention,
+        )
+
+        q, k, v = self._rand(T=50, seed=3)
+        got = flash_self_attention(q, k, v, block_q=32, block_k=32, interpret=True)
+        want = self._xla_attention(q, k, v)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
+
+
+def test_transformer_encoder_flash_matches_xla():
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.models.encoders import (
+        SequenceEncoder,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((3, 40, 6)), jnp.float32)
+    lengths = jnp.asarray([40, 17, 40], jnp.int32)
+    plain = SequenceEncoder(hidden_dim=16, output_dim=8, num_layers=1,
+                            encoder_type="transformer")
+    flash = SequenceEncoder(hidden_dim=16, output_dim=8, num_layers=1,
+                            encoder_type="transformer", flash_attention=True)
+    variables = plain.init(rng, x, lengths)
+    want = plain.apply(variables, x, lengths)
+    got = flash.apply(variables, x, lengths)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
