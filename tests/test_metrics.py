@@ -117,3 +117,27 @@ def test_weighted_ce_ignores_padded_rows():
     full = cross_entropy_loss(logits[:4], labels[:4])
     weighted = cross_entropy_loss(logits, labels, sample_weight=weight)
     assert float(weighted) == pytest.approx(float(full), abs=1e-6)
+
+
+class TestProfilingUtils:
+    def test_timer_and_throughput(self):
+        import jax.numpy as jnp
+
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.utils.profiling import (
+            Timer,
+            fence,
+            throughput,
+        )
+
+        timer = Timer()
+        with timer.lap():
+            pass
+        assert timer.best >= 0
+        assert timer.median >= 0
+
+        import jax
+
+        f = jax.jit(lambda x: x * 2)
+        stats = throughput(f, jnp.ones((8, 8)), items_per_call=8, iters=3, warmup=1)
+        assert stats["items_per_sec"] > 0
+        assert fence(f(jnp.ones((2, 2)))) == pytest.approx(8.0)
