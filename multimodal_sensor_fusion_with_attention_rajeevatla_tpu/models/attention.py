@@ -178,6 +178,14 @@ class StackedPairAttention(nn.Module):
         pairs = ordered_pairs(range(num_mod))
         num_pairs = len(pairs)
         head_dim = self.hidden_dim // self.num_heads
+        batch = stacked.shape[1]
+        if num_pairs == 0:
+            # single modality: no cross-modal pairs exist (reference builds
+            # zero attention modules in this case, src/fusion.py:300-314)
+            return (
+                jnp.zeros((0, batch, self.hidden_dim), stacked.dtype),
+                jnp.zeros((0, batch, self.num_heads, 1, 1), stacked.dtype),
+            )
         q_idx = jnp.array([p[0] for p in pairs])
         k_idx = jnp.array([p[1] for p in pairs])
 

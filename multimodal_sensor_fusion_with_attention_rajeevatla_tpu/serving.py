@@ -31,7 +31,11 @@ def make_serving_fn(
     always use the XLA graph.
     """
     modalities = tuple(model.modalities)
-    pallas_ok = use_pallas_head and model.fusion_type == "hybrid"
+    # the fused head kernel covers the cross-modal pair structure, which only
+    # exists for >= 2 modalities; single-modality hybrid runs the XLA graph
+    pallas_ok = (
+        use_pallas_head and model.fusion_type == "hybrid" and len(modalities) >= 2
+    )
 
     if not pallas_ok:
 

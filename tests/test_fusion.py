@@ -208,3 +208,20 @@ class TestHybridFusion:
         variables = model.init(rng, feats)
         with pytest.raises(KeyError, match="Missing features for modality"):
             model.apply(variables, {"video": feats["video"]})
+
+
+class TestSingleModalityHybrid:
+    def test_single_modality_hybrid_works(self, rng):
+        """M=1: zero cross-modal pairs; the head degenerates to gated self
+        (the reference builds zero attention modules, src/fusion.py:300-314)."""
+        model = HybridFusion(
+            modality_names=("only",), hidden_dim=H, num_classes=C, num_heads=4
+        )
+        feats = {"only": jnp.asarray(np.random.default_rng(0).standard_normal((B, 8)), jnp.float32)}
+        variables = model.init(rng, feats)
+        logits = model.apply(variables, feats)
+        assert logits.shape == (B, C)
+        assert bool(jnp.isfinite(logits).all())
+        logits2, info = model.apply(variables, feats, return_attention=True)
+        assert info["attention_maps"] == {}
+        np.testing.assert_allclose(np.asarray(info["fusion_weights"]), 1.0)
