@@ -136,6 +136,7 @@ class Trainer:
         # On-device train-time augmentation. (The reference declares these
         # config keys but never wires them; here they are real.)
         self.gaussian_noise = float(augmentation.get("gaussian_noise", 0.0))
+        self.temporal_jitter = float(augmentation.get("temporal_jitter", 0.0))
         self.batch_size = int(config.dataset.get("batch_size", 32))
         self.seed = int(config.get("seed", 42))
         self._has_batch_stats = False
@@ -219,6 +220,29 @@ class Trainer:
         )
         return new_state, loss, acc
 
+    def _apply_temporal_jitter(self, rng, features, lengths):
+        """Random per-sample start-offset crop of up to ``jitter * T`` steps.
+
+        Equivalent to resampling each window's start within the stream (the
+        'temporal_jitter: ±10%' knob the reference declares); implemented as
+        a device-side roll + length shrink so shapes stay static.
+        """
+        first = next(iter(features.values()))
+        batch, seq_len = first.shape[0], first.shape[1]
+        max_shift = int(self.temporal_jitter * seq_len)
+        if max_shift <= 0:
+            return features, lengths
+        shift = jax.random.randint(rng, (batch,), 0, max_shift + 1)
+        gather_t = (jnp.arange(seq_len)[None, :] + shift[:, None]) % seq_len
+
+        def roll(x):
+            idx = gather_t.reshape(batch, seq_len, *([1] * (x.ndim - 2)))
+            return jnp.take_along_axis(x, jnp.broadcast_to(idx, x.shape), axis=1)
+
+        jittered = {m: roll(v) for m, v in features.items()}
+        new_lengths = jnp.maximum(lengths - shift, 1) if lengths is not None else None
+        return jittered, new_lengths
+
     def _dropout_modality_mask(self, rng, batch: int, num_mod: int):
         """In-jit modality dropout: drop each modality with prob p, but never
         all of them (reference ``src/data.py:327-341``)."""
@@ -244,8 +268,14 @@ class Trainer:
             def body(state, xs):
                 idx, weight = xs
                 step_rng = jax.random.fold_in(state.rng, state.step)
-                drop_rng, noise_rng, apply_rng = jax.random.split(step_rng, 3)
+                drop_rng, noise_rng, jitter_rng, apply_rng = jax.random.split(
+                    step_rng, 4
+                )
                 features, labels, lengths = data.gather(idx)
+                if self.temporal_jitter > 0:
+                    features, lengths = self._apply_temporal_jitter(
+                        jitter_rng, features, lengths
+                    )
                 if self.gaussian_noise > 0:
                     features = {
                         m: v

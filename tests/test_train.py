@@ -201,3 +201,12 @@ def test_remat_flag_trains(tiny_model_cfg, tmp_path):
     train_w, val_w, _ = _splits(num=32)
     results = Trainer(cfg).fit(train_w, val_w, save_dir=tmp_path, log_fn=None)
     assert np.isfinite(results["history"][0]["train/loss"])
+
+
+def test_temporal_jitter_trains(tiny_model_cfg, tmp_path):
+    cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+    cfg.set_dotted("training.augmentation.temporal_jitter", 0.2)
+    cfg.set_dotted("training.max_epochs", 1)
+    train_w, val_w, _ = _splits(num=32)
+    results = Trainer(cfg).fit(train_w, val_w, save_dir=tmp_path, log_fn=None)
+    assert np.isfinite(results["history"][0]["train/loss"])
