@@ -92,7 +92,7 @@ def _lstm_fused_kernel(
     out_ref,        # VMEM [G, B, H] final hidden state
     h_ref,          # scratch VMEM [G, B, H]
     c_ref,          # scratch VMEM [G, B, H]
-    xp_ref,         # scratch VMEM [G, block_t * B, 4H] block input projections
+    xp_ref,         # scratch VMEM [G, block_t, B, 4H] block input projections
     *,
     block_t: int,
     groups: int,
@@ -115,14 +115,14 @@ def _lstm_fused_kernel(
         xg2 = xg.reshape(block_t * batch, xg.shape[-1])
         xp_ref[g] = jnp.dot(
             xg2, wih_ref[g], preferred_element_type=jnp.float32
-        )
+        ).reshape(block_t, batch, 4 * hidden)
 
     lengths = len_ref[:]  # [B, 1]
 
     def step(t, _):
         keep = ((step0 + t) < lengths).astype(jnp.float32)  # [B, 1]
         for g in range(groups):
-            xp = xp_ref[g, pl.ds(t * batch, batch), :]  # [B, 4H]
+            xp = xp_ref[g, t]  # [B, 4H]
             h = h_ref[g]
             c = c_ref[g]
             z = (
@@ -153,7 +153,7 @@ def grouped_lstm_fused(
     w_hh: jax.Array,  # [G, H, 4H]
     bias: jax.Array,  # [G, 4H] combined input+hidden bias
     lengths: jax.Array | None = None,  # [B]
-    block_t: int = 8,
+    block_t: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fully-fused grouped LSTM: in-kernel input projection + recurrence.
@@ -161,26 +161,37 @@ def grouped_lstm_fused(
     HBM traffic is just the raw ``x`` (tens of MB) instead of the ``x_proj``
     tensor (~1 GB for the PAMAP2 flagship shapes) — the input projection is
     computed block-wise in VMEM. Returns final hidden ``[G, B, H]``.
+
+    ``block_t`` (timesteps per grid iteration) defaults to whatever keeps the
+    in-VMEM block projection scratch within ~4 MB for the given batch.
     """
     seq_len, groups, batch, _ = x.shape
     hidden = w_hh.shape[1]
+    if block_t is None:
+        per_step_bytes = groups * ((batch + 7) // 8 * 8) * 4 * hidden * 4
+        block_t = max(1, min(8, (4 << 20) // max(1, per_step_bytes)))
     if seq_len % block_t:
         pad = block_t - seq_len % block_t
         x = jnp.pad(x, ((0, pad), (0, 0), (0, 0), (0, 0)))
     padded_len = x.shape[0]
     if lengths is None:
         lengths = jnp.full((batch,), seq_len, jnp.int32)
-    lengths_col = lengths.astype(jnp.int32).reshape(batch, 1)
+    batch_pad = (-batch) % 8  # sublane alignment for [B, ...] tiles
+    if batch_pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, batch_pad), (0, 0)))
+        lengths = jnp.pad(lengths, (0, batch_pad))
+    padded_batch = batch + batch_pad
+    lengths_col = lengths.astype(jnp.int32).reshape(padded_batch, 1)
 
     kernel = functools.partial(
         _lstm_fused_kernel, block_t=block_t, groups=groups, hidden=hidden
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(padded_len // block_t,),
         in_specs=[
             pl.BlockSpec(
-                (block_t, groups, batch, x.shape[-1]),
+                (block_t, groups, padded_batch, x.shape[-1]),
                 lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -191,16 +202,16 @@ def grouped_lstm_fused(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((groups, batch, hidden), jnp.float32),
-            pltpu.VMEM((groups, batch, hidden), jnp.float32),
-            pltpu.VMEM((groups, block_t * batch, 4 * hidden), jnp.float32),
+            pltpu.VMEM((groups, padded_batch, hidden), jnp.float32),
+            pltpu.VMEM((groups, padded_batch, hidden), jnp.float32),
+            pltpu.VMEM((groups, block_t, padded_batch, 4 * hidden), jnp.float32),
         ],
-        out_shape=jax.ShapeDtypeStruct((groups, batch, hidden), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((groups, padded_batch, hidden), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * padded_len * groups * batch * hidden * (4 * hidden + 4 * x.shape[-1]),
+            flops=2 * padded_len * groups * padded_batch * hidden * (4 * hidden + 4 * x.shape[-1]),
             bytes_accessed=x.size * 4 + w_hh.size * 4 + w_ih.size * 4,
-            transcendentals=padded_len * groups * batch * hidden * 4,
+            transcendentals=padded_len * groups * padded_batch * hidden * 4,
         ),
     )(
         x.astype(jnp.float32),
@@ -209,6 +220,7 @@ def grouped_lstm_fused(
         bias.astype(jnp.float32),
         lengths_col,
     )
+    return out[:, :batch]
 
 
 def grouped_lstm_forward(
