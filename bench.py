@@ -76,7 +76,7 @@ def load_windows():
     return windows, False
 
 
-def build_model():
+def build_model(pallas=None):
     from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.models.module import (
         MultimodalFusionModel,
     )
@@ -100,7 +100,11 @@ def build_model():
                 "dropout": 0.1,
                 "layer_norm": True,
                 "grouped_encoders": os.environ.get("BENCH_GROUPED", "1") == "1",
-                "pallas_rnn": os.environ.get("BENCH_PALLAS_RNN", "1") == "1",
+                "pallas_rnn": (
+                    os.environ.get("BENCH_PALLAS_RNN", "1") == "1"
+                    if pallas is None
+                    else pallas
+                ),
                 "encoders": {
                     m: {
                         "type": "sequence",
@@ -147,13 +151,17 @@ def bench_tpu(windows) -> dict:
 
     @jax.jit
     def forward_epoch(variables, data, idx_mat):
-        def body(carry, idx):
-            features, labels, lengths = data.gather(idx)
-            mask = jnp.ones((idx.shape[0], len(data.modalities)), jnp.float32)
-            logits = model.apply(variables, features, mask, lengths, train=False)
-            return carry + jnp.sum(jnp.argmax(logits, -1)), None
-
         def one_epoch(i, acc):
+            def body(carry, idx):
+                # rotate the window indices by the epoch counter: every epoch
+                # touches different data, so XLA cannot hoist the (otherwise
+                # loop-invariant) epoch computation out of the repeat loop
+                idx = (idx + i) % data.num_windows
+                features, labels, lengths = data.gather(idx)
+                mask = jnp.ones((idx.shape[0], len(data.modalities)), jnp.float32)
+                logits = model.apply(variables, features, mask, lengths, train=False)
+                return carry + jnp.sum(jnp.argmax(logits, -1)), None
+
             total, _ = jax.lax.scan(body, acc, idx_mat)
             return total
 
@@ -189,6 +197,51 @@ def bench_tpu(windows) -> dict:
     best = min(times)
     windows_per_sec = n * repeats / best
 
+    # training throughput (fwd+bwd+optimizer), same hoist-proof pattern
+    train_wps = None
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.train.trainer import (
+            Trainer,
+        )
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.data.dataset import (
+            BatchLoader,
+        )
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.utils.config import (
+            ConfigNode,
+        )
+
+        train_cfg = ConfigNode(
+            {
+                "dataset": {"name": "pamap2", "modalities": MODALITIES,
+                            "num_classes": 25, "batch_size": BATCH},
+                "model": {},  # model object supplied directly
+                "training": {
+                    "max_epochs": 1, "learning_rate": 1e-3, "weight_decay": 1e-4,
+                    "optimizer": "adamw", "scheduler": "cosine",
+                    "gradient_clip_norm": 1.0, "label_smoothing": 0.05,
+                    "augmentation": {"modality_dropout": 0.1},
+                },
+                "seed": 0,
+            }
+        )
+        # training uses the autodiff-able XLA path (kernels are fwd-only)
+        trainer = Trainer(train_cfg, model=build_model(pallas=False))
+        boot = next(iter(BatchLoader(windows, BATCH)))
+        state = trainer.init_state(boot, steps_per_epoch=steps)
+        epoch_fn = trainer.make_train_epoch_fn()
+        weights = jnp.ones_like(idx_mat, jnp.float32)
+        log("compiling train epoch...")
+        state, loss, _ = epoch_fn(state, data, idx_mat, weights)
+        float(loss)
+        times = []
+        for e in range(EPOCHS):
+            t0 = time.perf_counter()
+            state, loss, _ = epoch_fn(state, data, idx_mat, weights)
+            float(loss)
+            times.append(time.perf_counter() - t0)
+        train_wps = n / min(times)
+        log(f"train epoch: {min(times)*1000:.1f} ms ({train_wps:.1f} windows/s incl bwd+opt)")
+
     # single-batch p50 latency
     float(jnp.sum(forward_batch(variables, data, idx_mat[0])))
     lat = []
@@ -202,6 +255,7 @@ def bench_tpu(windows) -> dict:
     return {
         "windows_per_sec": windows_per_sec,
         "p50_latency_ms_per_window": p50_window_ms,
+        "train_windows_per_sec": train_wps,
         "num_windows": n,
         "batch": BATCH,
     }
@@ -313,6 +367,11 @@ def main():
         "real_data": real,
         "batch": tpu["batch"],
         "num_windows": tpu["num_windows"],
+        "train_windows_per_sec": (
+            round(tpu["train_windows_per_sec"], 2)
+            if tpu.get("train_windows_per_sec")
+            else None
+        ),
     }
     print(json.dumps(result))
 
