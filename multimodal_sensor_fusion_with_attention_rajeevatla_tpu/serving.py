@@ -10,7 +10,7 @@ kernel with weights resident in VMEM.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
