@@ -224,8 +224,8 @@ def bench_tpu(windows) -> dict:
                 "seed": 0,
             }
         )
-        # training uses the autodiff-able XLA path (kernels are fwd-only)
-        trainer = Trainer(train_cfg, model=build_model(pallas=False))
+        train_pallas = os.environ.get("BENCH_TRAIN_PALLAS", "1") == "1"
+        trainer = Trainer(train_cfg, model=build_model(pallas=train_pallas))
         boot = next(iter(BatchLoader(windows, BATCH)))
         state = trainer.init_state(boot, steps_per_epoch=steps)
         epoch_fn = trainer.make_train_epoch_fn()

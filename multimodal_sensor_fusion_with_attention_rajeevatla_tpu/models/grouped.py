@@ -113,21 +113,29 @@ class GroupedRNNEncoder(nn.Module):
 
             if (
                 self.use_pallas
-                and not train
                 and self.cell_type == "lstm"
                 and self.num_layers == 1
             ):
-                from ..ops.pallas_rnn import grouped_lstm_fused
+                if train:
+                    # differentiable kernel pair (custom VJP): recurrence in
+                    # Pallas, W_ih/b_ih grads flow through the x_proj einsum
+                    from ..ops.pallas_rnn_train import grouped_lstm_trainable
 
-                final_state = grouped_lstm_fused(
-                    layer_input.transpose(2, 0, 1, 3),  # [G,B,T,D] -> [T,G,B,D]
-                    w_ih,
-                    w_hh,
-                    b_ih + b_hh,  # LSTM gate biases are purely additive
-                    lengths=lengths if lengths is not None else None,
-                    # interpret off-TPU so the flag is portable in tests
-                    interpret=jax.default_backend() != "tpu",
-                )
+                    final_state = grouped_lstm_trainable(
+                        x_proj.astype(jnp.float32), w_hh, b_hh, lengths
+                    )
+                else:
+                    from ..ops.pallas_rnn import grouped_lstm_fused
+
+                    final_state = grouped_lstm_fused(
+                        layer_input.transpose(2, 0, 1, 3),  # [G,B,T,D]->[T,G,B,D]
+                        w_ih,
+                        w_hh,
+                        b_ih + b_hh,  # LSTM gate biases are purely additive
+                        lengths=lengths if lengths is not None else None,
+                        # interpret off-TPU so the flag is portable in tests
+                        interpret=jax.default_backend() != "tpu",
+                    )
                 break
 
             if self.cell_type == "lstm":

@@ -1,0 +1,341 @@
+"""Trainable grouped LSTM: Pallas forward + backward kernels via custom VJP.
+
+``ops/pallas_rnn.py`` covers inference. This module makes the grouped LSTM
+recurrence differentiable with hand-written kernels:
+
+- the FORWARD kernel runs the recurrence with weights/carries in VMEM (as in
+  the inference kernel) and additionally streams per-step residuals to HBM:
+  post-activation gates ``(i,f,g,o)``, and the incoming carries ``h_{t-1}``,
+  ``c_{t-1}`` — exactly what the backward chain needs (the same residuals XLA
+  autodiff would save, but written block-wise from VMEM).
+- the BACKWARD kernel walks the grid in REVERSE time order (its index maps
+  flip the block index), carrying ``dh``/``dc`` in VMEM scratch, computing
+  the per-step gate cotangents on the VPU, the ``dz @ W_hh^T`` and
+  ``h_{t-1}^T @ dz`` matmuls on the MXU, and accumulating ``dW_hh``/``db``
+  in VMEM — they leave the chip once, at the last grid step.
+
+The custom-VJP function operates at the ``x_proj`` level (inputs already
+projected); gradients for ``W_ih``/``b_ih``/``x`` flow through the XLA einsum
+that produced ``x_proj``, so this kernel pair only owns the recurrence.
+Validated against ``jax.grad`` of the XLA scan in ``tests/test_pallas.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fwd_kernel(
+    x_ref,       # VMEM [block_t, G, B, 4H] x_proj chunk
+    whh_ref,     # VMEM [G, H, 4H]
+    bhh_ref,     # VMEM [G, 4H]
+    len_ref,     # VMEM [B, 1] float32 valid lengths
+    out_ref,     # VMEM [G, B, H] final hidden
+    gates_ref,   # VMEM out [block_t, G, B, 4H] post-activation gates
+    hprev_ref,   # VMEM out [block_t, G, B, H]
+    cprev_ref,   # VMEM out [block_t, G, B, H]
+    h_ref,       # scratch [G, B, H]
+    c_ref,       # scratch [G, B, H]
+    *,
+    block_t: int,
+    groups: int,
+    hidden: int,
+):
+    step0 = pl.program_id(0) * block_t
+    num_blocks = pl.num_programs(0)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        h_ref[:] = jnp.zeros_like(h_ref)
+        c_ref[:] = jnp.zeros_like(c_ref)
+
+    lengths = len_ref[:]  # [B, 1]
+
+    def step(t, _):
+        keep = ((step0 + t) < lengths).astype(jnp.float32)
+        for g in range(groups):
+            h = h_ref[g]
+            c = c_ref[g]
+            hprev_ref[t, g] = h
+            cprev_ref[t, g] = c
+            z = (
+                x_ref[t, g]
+                + jnp.dot(h, whh_ref[g], preferred_element_type=jnp.float32)
+                + bhh_ref[g : g + 1, :]
+            )
+            i = jax.nn.sigmoid(z[:, 0 * hidden : 1 * hidden])
+            f = jax.nn.sigmoid(z[:, 1 * hidden : 2 * hidden])
+            gg = jnp.tanh(z[:, 2 * hidden : 3 * hidden])
+            o = jax.nn.sigmoid(z[:, 3 * hidden : 4 * hidden])
+            gates_ref[t, g] = jnp.concatenate([i, f, gg, o], axis=-1)
+            c_new = f * c + i * gg
+            h_new = o * jnp.tanh(c_new)
+            h_ref[g] = keep * h_new + (1.0 - keep) * h
+            c_ref[g] = keep * c_new + (1.0 - keep) * c
+        return 0
+
+    jax.lax.fori_loop(0, block_t, step, 0)
+
+    @pl.when(pl.program_id(0) == num_blocks - 1)
+    def _emit():
+        out_ref[:] = h_ref[:]
+
+
+def _bwd_kernel(
+    gates_ref,   # VMEM [block_t, G, B, 4H]  (reversed block order)
+    hprev_ref,   # VMEM [block_t, G, B, H]
+    cprev_ref,   # VMEM [block_t, G, B, H]
+    whh_ref,     # VMEM [G, H, 4H]
+    len_ref,     # VMEM [B, 1] float32 valid lengths
+    dhout_ref,   # VMEM [G, B, H] cotangent of the final hidden state
+    dx_ref,      # VMEM out [block_t, G, B, 4H] (reversed block order)
+    dwhh_ref,    # VMEM out [G, H, 4H]
+    dbhh_ref,    # VMEM out [G, 4H]
+    dh_ref,      # scratch [G, B, H]
+    dc_ref,      # scratch [G, B, H]
+    dw_acc,      # scratch [G, H, 4H]
+    db_acc,      # scratch [G, 4H]
+    *,
+    block_t: int,
+    groups: int,
+    hidden: int,
+    total_steps: int,
+):
+    num_blocks = pl.num_programs(0)
+    # reversed walk: grid iteration j covers block (num_blocks-1-j); the
+    # index maps already flip the streamed blocks, so in-kernel step indices
+    # run block-locally from block_t-1 down to 0
+    step0 = (num_blocks - 1 - pl.program_id(0)) * block_t
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dh_ref[:] = dhout_ref[:]
+        dc_ref[:] = jnp.zeros_like(dc_ref)
+        dw_acc[:] = jnp.zeros_like(dw_acc)
+        db_acc[:] = jnp.zeros_like(db_acc)
+
+    lengths = len_ref[:]  # [B, 1]
+
+    def step(s, _):
+        t = block_t - 1 - s  # reverse order within the block
+        keep = ((step0 + t) < lengths).astype(jnp.float32)
+        for g in range(groups):
+            gates = gates_ref[t, g]
+            i = gates[:, 0 * hidden : 1 * hidden]
+            f = gates[:, 1 * hidden : 2 * hidden]
+            gg = gates[:, 2 * hidden : 3 * hidden]
+            o = gates[:, 3 * hidden : 4 * hidden]
+            c_prev = cprev_ref[t, g]
+            h_prev = hprev_ref[t, g]
+            c_t = f * c_prev + i * gg
+            tanh_c = jnp.tanh(c_t)
+
+            dh = dh_ref[g]
+            dc = dc_ref[g]
+            # carry-freeze bwd: updated lane gets the gradient, frozen lane
+            # passes it straight through to t-1
+            dh_t = keep * dh
+            dh_skip = (1.0 - keep) * dh
+            dc_t = keep * dc
+            dc_skip = (1.0 - keep) * dc
+
+            do = dh_t * tanh_c
+            dc_t = dc_t + dh_t * o * (1.0 - tanh_c * tanh_c)
+            di = dc_t * gg
+            dg = dc_t * i
+            df = dc_t * c_prev
+            dc_prev = dc_t * f + dc_skip
+
+            dz = jnp.concatenate(
+                [
+                    di * i * (1.0 - i),
+                    df * f * (1.0 - f),
+                    dg * (1.0 - gg * gg),
+                    do * o * (1.0 - o),
+                ],
+                axis=-1,
+            )  # [B, 4H]
+            dx_ref[t, g] = dz
+            # dW_hh += h_prev^T dz ; dh_prev = dz W_hh^T
+            dw_acc[g] += jax.lax.dot_general(
+                h_prev, dz, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            db_acc[g : g + 1, :] += jnp.sum(dz, axis=0, keepdims=True)
+            dh_prev = jax.lax.dot_general(
+                dz, whh_ref[g], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dh_ref[g] = dh_prev + dh_skip
+            dc_ref[g] = dc_prev
+        return 0
+
+    jax.lax.fori_loop(0, block_t, step, 0)
+
+    @pl.when(pl.program_id(0) == num_blocks - 1)
+    def _emit():
+        dwhh_ref[:] = dw_acc[:]
+        dbhh_ref[:] = db_acc[:]
+
+    _ = total_steps
+
+
+def _lstm_core_fwd_kernels(x_proj, w_hh, b_hh, lengths_col, block_t):
+    seq_len, groups, batch, gates_h = x_proj.shape
+    hidden = gates_h // 4
+    kernel = functools.partial(
+        _fwd_kernel, block_t=block_t, groups=groups, hidden=hidden
+    )
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        kernel,
+        grid=(seq_len // block_t,),
+        in_specs=[
+            pl.BlockSpec(
+                (block_t, groups, batch, gates_h), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_t, groups, batch, gates_h), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_t, groups, batch, hidden), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_t, groups, batch, hidden), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((groups, batch, hidden), jnp.float32),
+            pltpu.VMEM((groups, batch, hidden), jnp.float32),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((groups, batch, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((seq_len, groups, batch, gates_h), jnp.float32),
+            jax.ShapeDtypeStruct((seq_len, groups, batch, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((seq_len, groups, batch, hidden), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x_proj, w_hh, b_hh, lengths_col)
+
+
+def _lstm_core_bwd_kernels(
+    gates, hprev, cprev, w_hh, lengths_col, dh_out, block_t
+):
+    seq_len, groups, batch, gates_h = gates.shape
+    hidden = gates_h // 4
+    num_blocks = seq_len // block_t
+    kernel = functools.partial(
+        _bwd_kernel, block_t=block_t, groups=groups, hidden=hidden,
+        total_steps=seq_len,
+    )
+    interpret = jax.default_backend() != "tpu"
+    rev = lambda i: (num_blocks - 1 - i, 0, 0, 0)  # noqa: E731
+    return pl.pallas_call(
+        kernel,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((block_t, groups, batch, gates_h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, groups, batch, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, groups, batch, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_t, groups, batch, gates_h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((groups, batch, hidden), jnp.float32),
+            pltpu.VMEM((groups, batch, hidden), jnp.float32),
+            pltpu.VMEM((groups, hidden, gates_h), jnp.float32),
+            pltpu.VMEM((groups, gates_h), jnp.float32),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((seq_len, groups, batch, gates_h), jnp.float32),
+            jax.ShapeDtypeStruct((groups, hidden, gates_h), jnp.float32),
+            jax.ShapeDtypeStruct((groups, gates_h), jnp.float32),
+        ),
+        interpret=interpret,
+    )(gates, hprev, cprev, w_hh, lengths_col, dh_out)
+
+
+def _pick_block_t(seq_len: int, groups: int, batch: int, hidden: int) -> int:
+    per_step = groups * batch * 4 * hidden * 4  # gates bytes per step
+    block_t = max(1, min(8, (2 << 20) // max(1, per_step)))
+    while seq_len % block_t:
+        block_t -= 1
+    return max(block_t, 1)
+
+
+def grouped_lstm_trainable(x_proj, w_hh, b_hh, lengths=None):
+    """Differentiable grouped LSTM recurrence (Pallas fwd+bwd kernels).
+
+    Args mirror :func:`ops.pallas_rnn.grouped_lstm_forward`; returns the
+    final hidden state ``[G, B, H]``. ``lengths`` is non-differentiable.
+    """
+    seq_len, _g, batch, _gh = x_proj.shape
+    if lengths is None:
+        lengths = jnp.full((batch,), seq_len, jnp.int32)
+    # float lengths so the custom-VJP can hand back a well-typed zero
+    # cotangent (JAX has no None slot for array args)
+    return _core(x_proj, w_hh, b_hh, lengths.astype(jnp.float32))
+
+
+@jax.custom_vjp
+def _core(x_proj, w_hh, b_hh, lengths_f):
+    out, _res = _core_fwd(x_proj, w_hh, b_hh, lengths_f)
+    return out
+
+
+def _prep(x_proj, lengths_f):
+    seq_len, groups, batch, gates_h = x_proj.shape
+    hidden = gates_h // 4
+    block_t = _pick_block_t(seq_len, groups, batch, hidden)
+    pad_t = (-seq_len) % block_t
+    if pad_t:
+        x_proj = jnp.pad(x_proj, ((0, pad_t), (0, 0), (0, 0), (0, 0)))
+    lengths_col = lengths_f.reshape(batch, 1)
+    return x_proj, lengths_col, block_t, seq_len
+
+
+def _core_fwd(x_proj, w_hh, b_hh, lengths_f):
+    x_pad, lengths_col, block_t, seq_len = _prep(x_proj, lengths_f)
+    out, gates, hprev, cprev = _lstm_core_fwd_kernels(
+        x_pad.astype(jnp.float32),
+        w_hh.astype(jnp.float32),
+        b_hh.astype(jnp.float32),
+        lengths_col,
+        block_t,
+    )
+    return out, (gates, hprev, cprev, w_hh, lengths_col, block_t, seq_len)
+
+
+def _core_bwd(res, dh_out):
+    gates, hprev, cprev, w_hh, lengths_col, block_t, seq_len = res
+    dx_pad, dw_hh, db_hh = _lstm_core_bwd_kernels(
+        gates, hprev, cprev, w_hh.astype(jnp.float32), lengths_col,
+        dh_out.astype(jnp.float32), block_t,
+    )
+    dx = dx_pad[:seq_len]
+    return dx, dw_hh, db_hh, jnp.zeros_like(lengths_col[:, 0])
+
+
+_core.defvjp(_core_fwd, _core_bwd)
