@@ -95,12 +95,8 @@ def _bwd_kernel(
     len_ref,     # VMEM [B, 1] float32 valid lengths
     dhout_ref,   # VMEM [G, B, H] cotangent of the final hidden state
     dx_ref,      # VMEM out [block_t, G, B, 4H] (reversed block order)
-    dwhh_ref,    # VMEM out [G, H, 4H]
-    dbhh_ref,    # VMEM out [G, 4H]
     dh_ref,      # scratch [G, B, H]
     dc_ref,      # scratch [G, B, H]
-    dw_acc,      # scratch [G, H, 4H]
-    db_acc,      # scratch [G, 4H]
     *,
     block_t: int,
     groups: int,
@@ -117,8 +113,6 @@ def _bwd_kernel(
     def _init():
         dh_ref[:] = dhout_ref[:]
         dc_ref[:] = jnp.zeros_like(dc_ref)
-        dw_acc[:] = jnp.zeros_like(dw_acc)
-        db_acc[:] = jnp.zeros_like(db_acc)
 
     lengths = len_ref[:]  # [B, 1]
 
@@ -162,12 +156,9 @@ def _bwd_kernel(
                 axis=-1,
             )  # [B, 4H]
             dx_ref[t, g] = dz
-            # dW_hh += h_prev^T dz ; dh_prev = dz W_hh^T
-            dw_acc[g] += jax.lax.dot_general(
-                h_prev, dz, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            db_acc[g : g + 1, :] += jnp.sum(dz, axis=0, keepdims=True)
+            # dW_hh/db_hh are reduced OUTSIDE the kernel (one XLA einsum
+            # over the dx output): keeping the [G,H,4H] accumulator in VMEM
+            # blew the 16 MB budget at flagship shapes
             dh_prev = jax.lax.dot_general(
                 dz, whh_ref[g], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -177,12 +168,6 @@ def _bwd_kernel(
         return 0
 
     jax.lax.fori_loop(0, block_t, step, 0)
-
-    @pl.when(pl.program_id(0) == num_blocks - 1)
-    def _emit():
-        dwhh_ref[:] = dw_acc[:]
-        dbhh_ref[:] = db_acc[:]
-
     _ = total_steps
 
 
@@ -257,21 +242,15 @@ def _lstm_core_bwd_kernels(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((block_t, groups, batch, gates_h), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (block_t, groups, batch, gates_h), rev, memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((groups, batch, hidden), jnp.float32),
             pltpu.VMEM((groups, batch, hidden), jnp.float32),
-            pltpu.VMEM((groups, hidden, gates_h), jnp.float32),
-            pltpu.VMEM((groups, gates_h), jnp.float32),
         ],
-        out_shape=(
-            jax.ShapeDtypeStruct((seq_len, groups, batch, gates_h), jnp.float32),
-            jax.ShapeDtypeStruct((groups, hidden, gates_h), jnp.float32),
-            jax.ShapeDtypeStruct((groups, gates_h), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (seq_len, groups, batch, gates_h), jnp.float32
         ),
         interpret=interpret,
     )(gates, hprev, cprev, w_hh, lengths_col, dh_out)
@@ -330,10 +309,14 @@ def _core_fwd(x_proj, w_hh, b_hh, lengths_f):
 
 def _core_bwd(res, dh_out):
     gates, hprev, cprev, w_hh, lengths_col, block_t, seq_len = res
-    dx_pad, dw_hh, db_hh = _lstm_core_bwd_kernels(
+    dx_pad = _lstm_core_bwd_kernels(
         gates, hprev, cprev, w_hh.astype(jnp.float32), lengths_col,
         dh_out.astype(jnp.float32), block_t,
     )
+    # weight/bias grads as ONE large MXU einsum each (padded steps have
+    # dz == 0, so they contribute nothing)
+    dw_hh = jnp.einsum("tgbh,tgbk->ghk", hprev, dx_pad)
+    db_hh = jnp.sum(dx_pad, axis=(0, 2))
     dx = dx_pad[:seq_len]
     return dx, dw_hh, db_hh, jnp.zeros_like(lengths_col[:, 0])
 
