@@ -355,7 +355,14 @@ def bench_torch_cpu_baseline(max_windows: int = 12) -> float:
 
 def main():
     windows, real = load_windows()
-    tpu = bench_tpu(windows)
+    # the tunneled backend occasionally throws transient FAILED_PRECONDITION;
+    # one retry keeps the driver's single bench invocation alive
+    try:
+        tpu = bench_tpu(windows)
+    except Exception as exc:
+        log(f"bench attempt failed ({type(exc).__name__}: {exc}); retrying once")
+        time.sleep(10)
+        tpu = bench_tpu(windows)
     baseline_wps = bench_torch_cpu_baseline()
     result = {
         "metric": "PAMAP2 windows/sec/chip (preprocess+fwd)",
