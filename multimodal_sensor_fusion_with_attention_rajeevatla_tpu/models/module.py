@@ -239,6 +239,9 @@ class MultimodalFusionModel(nn.Module):
             if "hidden_dim" not in cfg:
                 cfg["hidden_dim"] = int(model_cfg.get("hidden_dim", 256))
             enc_cfgs[name] = cfg
+        pallas_rnn = model_cfg.get("pallas_rnn", False)
+        if isinstance(pallas_rnn, str) and pallas_rnn.lower() == "auto":
+            pallas_rnn = jax.default_backend() == "tpu"
         return cls(
             modalities=modalities,
             encoder_configs=tuple(sorted((k, tuple(sorted(v.items()))) for k, v in enc_cfgs.items())),
@@ -250,6 +253,6 @@ class MultimodalFusionModel(nn.Module):
             dropout=float(model_cfg.get("dropout", 0.1)),
             layer_norm=bool(model_cfg.get("layer_norm", False)),
             grouped_encoders=bool(model_cfg.get("grouped_encoders", True)),
-            pallas_rnn=bool(model_cfg.get("pallas_rnn", False)),
+            pallas_rnn=bool(pallas_rnn),
             mixed_precision=bool(config.get("mixed_precision", False)),
         )
