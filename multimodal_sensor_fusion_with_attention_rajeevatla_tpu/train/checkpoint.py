@@ -49,6 +49,14 @@ class CheckpointManager:
         self.save_top_k = save_top_k
         self.save_last = save_last
         self._entries: List[Tuple[float, Path]] = []  # (score, path)
+        # adopt checkpoints already on disk (mid-run resume): top-k tracking
+        # and best_model_path must span the whole run, not just this process
+        for existing in sorted(self.directory.glob("epoch=*-val_loss=*")):
+            try:
+                score = float(existing.name.rsplit("val_loss=", 1)[1])
+            except ValueError:
+                continue
+            self._entries.append((score, existing))
 
     @property
     def best_model_path(self) -> Optional[str]:

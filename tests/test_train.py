@@ -210,3 +210,18 @@ def test_temporal_jitter_trains(tiny_model_cfg, tmp_path):
     train_w, val_w, _ = _splits(num=32)
     results = Trainer(cfg).fit(train_w, val_w, save_dir=tmp_path, log_fn=None)
     assert np.isfinite(results["history"][0]["train/loss"])
+
+
+def test_checkpoint_manager_adopts_existing(tmp_path):
+    mgr1 = CheckpointManager(tmp_path, save_top_k=2, save_last=False)
+    variables = {"params": {"w": np.ones(2)}}
+    mgr1.save(variables, 0, 0.4)
+    mgr1.save(variables, 1, 0.9)
+    # a fresh manager over the same dir (resume) must know the history
+    mgr2 = CheckpointManager(tmp_path, save_top_k=2, save_last=False)
+    assert mgr2.best_model_score == pytest.approx(0.4)
+    mgr2.save(variables, 2, 0.7)  # evicts the 0.9 one, keeps 0.4
+    kept = {p.name for p in tmp_path.iterdir()}
+    assert "epoch=0-val_loss=0.4000" in kept
+    assert "epoch=2-val_loss=0.7000" in kept
+    assert "epoch=1-val_loss=0.9000" not in kept
