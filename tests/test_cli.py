@@ -115,3 +115,59 @@ seed: 7
     assert Path(results["best_model_path"]).exists()
     on_disk = json.loads((tmp_path / "runs" / "mini_exp" / "results.json").read_text())
     assert on_disk["config"]["experiment"]["name"] == "mini_exp"
+
+
+@pytest.mark.slow
+def test_train_ensemble_script(tmp_path, monkeypatch):
+    import sys
+    from pathlib import Path as P
+
+    sys.path.insert(0, str(P(__file__).resolve().parent.parent / "scripts"))
+    import train_ensemble
+
+    monkeypatch.chdir(tmp_path)
+    cfg_dir = tmp_path / "config"
+    cfg_dir.mkdir()
+    (cfg_dir / "ens.yaml").write_text(
+        """
+dataset:
+  name: synthetic
+  data_dir: ./data
+  modalities: [s1, s2]
+  num_classes: 4
+  num_samples: 48
+  sequence_length: 8
+  batch_size: 16
+model:
+  fusion_type: early
+  hidden_dim: 16
+  output_dim: 8
+  dropout: 0.1
+  layer_norm: false
+  encoders:
+    s1: {type: sequence, encoder_type: cnn, num_layers: 1}
+    s2: {type: sequence, encoder_type: cnn, num_layers: 1}
+training:
+  max_epochs: 1
+  learning_rate: 1e-3
+  optimizer: adam
+  scheduler: none
+experiment:
+  name: ens
+  save_dir: ./runs
+seed: 7
+"""
+    )
+    import json
+
+    train_ensemble.main(
+        ["--num-models", "2", "--epochs", "1",
+         "--config-name", str(cfg_dir / "ens"),
+         "--output_dir", str(tmp_path / "experiments" / "ensemble")]
+    )
+    results = json.loads(
+        (tmp_path / "experiments" / "ensemble" / "ensemble_results.json").read_text()
+    )
+    assert results["num_models"] == 2
+    assert 0 <= results["ensemble"]["accuracy"] <= 1
+    assert len(results["members"]) == 2
