@@ -208,6 +208,74 @@ class UncertaintyWeightedFusion:
         )
 
 
+def mc_dropout_uncertainty_fusion(
+    model,
+    variables,
+    features,
+    modality_mask=None,
+    lengths=None,
+    num_samples: int = 10,
+    seed: int = 0,
+    epsilon: float = 1e-6,
+) -> Tuple[jax.Array, jax.Array]:
+    """Uncertainty-aware fusion: MC-dropout per-modality heads, inverse-variance
+    weighting.
+
+    The reference declares a ``fusion_type: uncertainty`` preset as extra
+    credit but never implements a runnable path (its factory rejects the
+    type). This realises it for LateFusion models: per-modality logits are
+    sampled under MC dropout (vmapped), each modality's predictive variance
+    becomes its uncertainty, and :func:`uncertainty_weighted_fusion` combines
+    the mean per-modality logits. Returns ``(fused_logits, fusion_weights)``.
+    """
+    if getattr(model, "fusion_type", None) != "late":
+        raise ValueError(
+            "mc_dropout_uncertainty_fusion requires a LateFusion model "
+            "(per-modality heads provide the per-modality predictions)."
+        )
+    names = list(model.modalities)
+    batch = next(iter(features.values())).shape[0]
+    if modality_mask is None:
+        modality_mask = jnp.ones((batch, len(names)), jnp.float32)
+    has_batch_stats = "batch_stats" in variables
+    keys = jax.random.split(jax.random.PRNGKey(seed), num_samples)
+
+    def one_pass(key):
+        encoded = model.apply(
+            variables, features, lengths, train=True,
+            rngs={"dropout": key},
+            mutable=["batch_stats"] if has_batch_stats else False,
+            method=type(model).encode,
+        )
+        if has_batch_stats:
+            encoded = encoded[0]
+
+        def fuse_fn(mdl, enc, msk, train=True):
+            return mdl.fusion_model(enc, msk, train=train)
+
+        out = model.apply(
+            variables, encoded, modality_mask, train=True,
+            rngs={"dropout": key},
+            mutable=["batch_stats"] if has_batch_stats else False,
+            method=fuse_fn,
+        )
+        if has_batch_stats:
+            out = out[0]
+        _fused, per_mod = out
+        return jnp.stack([per_mod[n] for n in names], axis=0)  # [M, B, C]
+
+    samples = jax.vmap(one_pass)(keys)  # [S, M, B, C]
+    mean_logits = jnp.mean(samples, axis=0)  # [M, B, C]
+    probs = jax.nn.softmax(samples, axis=-1)
+    variance = jnp.mean(jnp.var(probs, axis=0, ddof=0), axis=-1)  # [M, B]
+
+    predictions = {n: mean_logits[i] for i, n in enumerate(names)}
+    uncertainties = {n: variance[i] for i, n in enumerate(names)}
+    return uncertainty_weighted_fusion(
+        predictions, uncertainties, modality_mask, epsilon
+    )
+
+
 class TemperatureScaling:
     """Single-temperature post-hoc calibration (Guo et al., 2017).
 

@@ -172,3 +172,72 @@ class TestComputeCalibrationMetrics:
     def test_empty_batches_raise(self):
         with pytest.raises(ValueError, match="Dataloader produced no batches to evaluate."):
             compute_calibration_metrics(batches=[])
+
+
+class TestMCDropoutUncertaintyFusion:
+    def _late_model(self):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.models.module import (
+            MultimodalFusionModel,
+        )
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.utils.config import (
+            ConfigNode,
+        )
+
+        cfg = ConfigNode(
+            {
+                "dataset": {"name": "x", "modalities": ["a", "b"], "num_classes": 5},
+                "model": {
+                    "fusion_type": "late", "hidden_dim": 16, "output_dim": 8,
+                    "dropout": 0.2, "layer_norm": False,
+                    "encoders": {
+                        "a": {"type": "sequence", "encoder_type": "gru", "num_layers": 1},
+                        "b": {"type": "sequence", "encoder_type": "gru", "num_layers": 1},
+                    },
+                },
+            }
+        )
+        return MultimodalFusionModel.from_config(cfg)
+
+    def test_uncertainty_fusion_predicts(self):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.uncertainty import (
+            mc_dropout_uncertainty_fusion,
+        )
+
+        model = self._late_model()
+        feats = {
+            "a": jnp.asarray(np.random.default_rng(0).standard_normal((3, 6, 4)), jnp.float32),
+            "b": jnp.asarray(np.random.default_rng(1).standard_normal((3, 6, 4)), jnp.float32),
+        }
+        rng = jax.random.PRNGKey(0)
+        variables = model.init({"params": rng, "dropout": rng}, feats)
+        fused, weights = mc_dropout_uncertainty_fusion(
+            model, variables, feats, num_samples=4
+        )
+        assert fused.shape == (3, 5)
+        assert weights.shape == (3, 2)
+        np.testing.assert_allclose(np.asarray(weights).sum(-1), 1.0, rtol=1e-5)
+        assert bool(jnp.isfinite(fused).all())
+
+    def test_requires_late_fusion(self):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.uncertainty import (
+            mc_dropout_uncertainty_fusion,
+        )
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.utils.config import (
+            ConfigNode,
+        )
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.models.module import (
+            MultimodalFusionModel,
+        )
+
+        cfg = ConfigNode(
+            {
+                "dataset": {"name": "x", "modalities": ["a"], "num_classes": 3},
+                "model": {"fusion_type": "early", "hidden_dim": 8, "output_dim": 4,
+                          "dropout": 0.1, "layer_norm": False,
+                          "encoders": {"a": {"type": "sequence", "encoder_type": "gru",
+                                             "num_layers": 1}}},
+            }
+        )
+        model = MultimodalFusionModel.from_config(cfg)
+        with pytest.raises(ValueError, match="requires a LateFusion model"):
+            mc_dropout_uncertainty_fusion(model, {}, {"a": jnp.ones((1, 4, 2))})
