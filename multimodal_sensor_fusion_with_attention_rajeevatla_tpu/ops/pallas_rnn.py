@@ -276,3 +276,136 @@ def grouped_lstm_forward(
         b_hh.astype(jnp.float32),
         lengths_col,
     )
+
+
+def _gru_fused_kernel(
+    x_ref,          # VMEM [block_t, G, B, D] streamed raw inputs
+    wih_ref,        # VMEM [G, D, 3H]
+    whh_ref,        # VMEM [G, H, 3H]
+    bih_ref,        # VMEM [G, 3H]
+    bhh_ref,        # VMEM [G, 3H]  (candidate bias applies INSIDE the reset gate)
+    len_ref,        # VMEM [B, 1] int32 per-row valid lengths
+    out_ref,        # VMEM [G, B, H] final hidden state
+    h_ref,          # scratch VMEM [G, B, H]
+    xp_ref,         # scratch VMEM [G, block_t, B, 3H]
+    *,
+    block_t: int,
+    groups: int,
+    hidden: int,
+):
+    step0 = pl.program_id(0) * block_t
+    num_blocks = pl.num_programs(0)
+    batch = h_ref.shape[1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        h_ref[:] = jnp.zeros_like(h_ref)
+
+    for g in range(groups):
+        xg = x_ref[:, g]
+        xg2 = xg.reshape(block_t * batch, xg.shape[-1])
+        xp_ref[g] = (
+            jnp.dot(xg2, wih_ref[g], preferred_element_type=jnp.float32)
+            + bih_ref[g : g + 1, :]
+        ).reshape(block_t, batch, 3 * hidden)
+
+    lengths = len_ref[:]  # [B, 1]
+
+    def step(t, _):
+        keep = ((step0 + t) < lengths).astype(jnp.float32)
+        for g in range(groups):
+            xp = xp_ref[g, t]  # [B, 3H]
+            h = h_ref[g]
+            hp = (
+                jnp.dot(h, whh_ref[g], preferred_element_type=jnp.float32)
+                + bhh_ref[g : g + 1, :]
+            )
+            r = jax.nn.sigmoid(
+                xp[:, 0 * hidden : 1 * hidden] + hp[:, 0 * hidden : 1 * hidden]
+            )
+            z = jax.nn.sigmoid(
+                xp[:, 1 * hidden : 2 * hidden] + hp[:, 1 * hidden : 2 * hidden]
+            )
+            n = jnp.tanh(
+                xp[:, 2 * hidden : 3 * hidden] + r * hp[:, 2 * hidden : 3 * hidden]
+            )
+            h_new = (1.0 - z) * n + z * h
+            h_ref[g] = keep * h_new + (1.0 - keep) * h
+        return 0
+
+    jax.lax.fori_loop(0, block_t, step, 0)
+
+    @pl.when(pl.program_id(0) == num_blocks - 1)
+    def _emit():
+        out_ref[:] = h_ref[:]
+
+
+def grouped_gru_fused(
+    x: jax.Array,  # [T, G, B, D]
+    w_ih: jax.Array,  # [G, D, 3H]
+    w_hh: jax.Array,  # [G, H, 3H]
+    b_ih: jax.Array,  # [G, 3H]
+    b_hh: jax.Array,  # [G, 3H]
+    lengths: jax.Array | None = None,
+    block_t: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fully-fused grouped GRU (inference): torch gate semantics, in-kernel
+    input projection, VMEM-resident weights/carry. Returns ``[G, B, H]``."""
+    seq_len, groups, batch, _ = x.shape
+    hidden = w_hh.shape[1]
+    if block_t is None:
+        per_step_bytes = groups * ((batch + 7) // 8 * 8) * 3 * hidden * 4
+        block_t = max(1, min(8, (4 << 20) // max(1, per_step_bytes)))
+    if seq_len % block_t:
+        pad = block_t - seq_len % block_t
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0), (0, 0)))
+    padded_len = x.shape[0]
+    if lengths is None:
+        lengths = jnp.full((batch,), seq_len, jnp.int32)
+    batch_pad = (-batch) % 8
+    if batch_pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, batch_pad), (0, 0)))
+        lengths = jnp.pad(lengths, (0, batch_pad))
+    padded_batch = batch + batch_pad
+    lengths_col = lengths.astype(jnp.int32).reshape(padded_batch, 1)
+
+    kernel = functools.partial(
+        _gru_fused_kernel, block_t=block_t, groups=groups, hidden=hidden
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(padded_len // block_t,),
+        in_specs=[
+            pl.BlockSpec(
+                (block_t, groups, padded_batch, x.shape[-1]),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((groups, padded_batch, hidden), jnp.float32),
+            pltpu.VMEM((groups, block_t, padded_batch, 3 * hidden), jnp.float32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((groups, padded_batch, hidden), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * padded_len * groups * padded_batch * hidden * (3 * hidden + 3 * x.shape[-1]),
+            bytes_accessed=x.size * 4 + w_hh.size * 4 + w_ih.size * 4,
+            transcendentals=padded_len * groups * padded_batch * hidden * 3,
+        ),
+    )(
+        x.astype(jnp.float32),
+        w_ih.astype(jnp.float32),
+        w_hh.astype(jnp.float32),
+        b_ih.astype(jnp.float32),
+        b_hh.astype(jnp.float32),
+        lengths_col,
+    )
+    return out[:, :batch]

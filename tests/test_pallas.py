@@ -344,3 +344,75 @@ class TestTrainableLSTMKernel:
             w.labels = (signal > np.median(signal)).astype(np.int32)
         results = Trainer(cfg).fit(train_w, val_w, log_fn=None)
         assert results["history"][-1]["train/acc"] > 0.7
+
+
+class TestGroupedGRUKernel:
+    def test_matches_scan_oracle(self):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_rnn import (
+            grouped_gru_fused,
+        )
+
+        G, B, T, D, H = 2, 8, 24, 5, 16
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((T, G, B, D)) * 0.5, jnp.float32)
+        w_ih = jnp.asarray(rng.standard_normal((G, D, 3 * H)) * 0.2, jnp.float32)
+        w_hh = jnp.asarray(rng.standard_normal((G, H, 3 * H)) * 0.2, jnp.float32)
+        b_ih = jnp.asarray(rng.standard_normal((G, 3 * H)) * 0.1, jnp.float32)
+        b_hh = jnp.asarray(rng.standard_normal((G, 3 * H)) * 0.1, jnp.float32)
+        lengths = jnp.asarray([24, 13, 1, 24, 7, 24, 24, 18], jnp.int32)
+
+        def oracle():
+            def step(h, xs):
+                xt, t = xs
+                xp = jnp.einsum("gbd,gdh->gbh", xt, w_ih) + b_ih[:, None, :]
+                hp = jnp.einsum("gbh,ghk->gbk", h, w_hh) + b_hh[:, None, :]
+                xr, xz, xn = jnp.split(xp, 3, axis=-1)
+                hr, hz, hn = jnp.split(hp, 3, axis=-1)
+                r = jax.nn.sigmoid(xr + hr)
+                z = jax.nn.sigmoid(xz + hz)
+                n = jnp.tanh(xn + r * hn)
+                h_new = (1 - z) * n + z * h
+                keep = (t < lengths).astype(jnp.float32)[None, :, None]
+                return keep * h_new + (1 - keep) * h, None
+
+            h, _ = jax.lax.scan(step, jnp.zeros((G, B, H)), (x, jnp.arange(T)))
+            return h
+
+        got = grouped_gru_fused(x, w_ih, w_hh, b_ih, b_hh, lengths, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(oracle()), rtol=1e-5, atol=1e-6
+        )
+
+    def test_module_gru_pallas_flag(self, tiny_model_cfg):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.models.module import (
+            MultimodalFusionModel,
+        )
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.utils.config import (
+            ConfigNode,
+        )
+
+        cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+        cfg.set_dotted(
+            "model.encoders",
+            {
+                "sensor1": {"type": "sequence", "encoder_type": "gru", "num_layers": 1},
+                "sensor2": {"type": "sequence", "encoder_type": "gru", "num_layers": 1},
+            },
+        )
+        feats = {
+            "sensor1": jnp.asarray(
+                np.random.default_rng(0).standard_normal((4, 12, 8)), jnp.float32
+            ),
+            "sensor2": jnp.asarray(
+                np.random.default_rng(1).standard_normal((4, 12, 8)), jnp.float32
+            ),
+        }
+        lengths = jnp.asarray([12, 6, 12, 3], jnp.int32)
+        rng = jax.random.PRNGKey(0)
+        scan_model = MultimodalFusionModel.from_config(cfg)
+        variables = scan_model.init({"params": rng, "dropout": rng}, feats, None, lengths)
+        cfg.set_dotted("model.pallas_rnn", True)
+        pallas_model = MultimodalFusionModel.from_config(cfg)
+        want = scan_model.apply(variables, feats, None, lengths, train=False)
+        got = pallas_model.apply(variables, feats, None, lengths, train=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)

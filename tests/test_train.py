@@ -225,3 +225,15 @@ def test_checkpoint_manager_adopts_existing(tmp_path):
     assert "epoch=0-val_loss=0.4000" in kept
     assert "epoch=2-val_loss=0.7000" in kept
     assert "epoch=1-val_loss=0.9000" not in kept
+
+
+def test_gradient_accumulation_trains(tiny_model_cfg, tmp_path):
+    """optax.MultiSteps path: params update every k micro-steps."""
+    cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+    cfg.set_dotted("training.gradient_accumulation", 2)
+    cfg.set_dotted("training.max_epochs", 2)
+    train_w, val_w, _ = _splits(num=64)
+    results = Trainer(cfg).fit(train_w, val_w, save_dir=tmp_path, log_fn=None)
+    assert np.isfinite(results["history"][-1]["train/loss"])
+    # loss should still move (updates are happening)
+    assert results["history"][-1]["train/loss"] != results["history"][0]["train/loss"]
