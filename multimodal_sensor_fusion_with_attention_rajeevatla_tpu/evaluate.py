@@ -493,7 +493,9 @@ def run_evaluation(
         print("\nMC-dropout uncertainty analysis...")
         num_mc = int(unc_cfg.get("num_mc_samples", 10))
         mcd = MCDropoutUncertainty(model, variables, num_samples=num_mc)
-        n_probe = min(test_data.num_windows, 4 * batch_size)
+        # one batch: the vmap over MC samples multiplies activation memory by
+        # num_mc (O(T^2) transformer attention OOMs at larger probe sizes)
+        n_probe = min(test_data.num_windows, batch_size)
         idx = jnp.arange(n_probe, dtype=jnp.int32)
         probe_feats, _probe_labels, probe_lengths = test_data.gather(idx)
         probe_mask = jnp.ones((n_probe, len(test_data.modalities)), jnp.float32)
