@@ -230,6 +230,9 @@ class MultimodalFusionModel(nn.Module):
         model_cfg = config.model
         dataset_cfg = config.dataset
         modalities = tuple(dataset_cfg.modalities)
+        flash = model_cfg.get("flash_attention", "auto")
+        if isinstance(flash, str) and flash.lower() == "auto":
+            flash = jax.default_backend() == "tpu"
         enc_cfgs = {}
         all_encoder_cfg = model_cfg.get("encoders", {}) or {}
         for name in modalities:
@@ -238,6 +241,8 @@ class MultimodalFusionModel(nn.Module):
             cfg.setdefault("dropout", float(model_cfg.get("dropout", 0.1)))
             if "hidden_dim" not in cfg:
                 cfg["hidden_dim"] = int(model_cfg.get("hidden_dim", 256))
+            if cfg.get("encoder_type") == "transformer":
+                cfg.setdefault("flash_attention", bool(flash))
             enc_cfgs[name] = cfg
         pallas_rnn = model_cfg.get("pallas_rnn", False)
         if isinstance(pallas_rnn, str) and pallas_rnn.lower() == "auto":
