@@ -102,15 +102,24 @@ def device_put_split(
 ) -> DeviceSplit:
     """Push a windowed split to device (optionally with an explicit sharding)."""
 
-    def put(x):
-        arr = jnp.asarray(x, dtype=dtype if np.issubdtype(x.dtype, np.floating) else None)
+    def put(x, force_dtype=None):
+        # NB: go straight from host numpy to the target sharding. A
+        # ``jnp.asarray`` first would allocate on the DEFAULT backend — which
+        # may be an entirely different (even broken) platform than the mesh
+        # the caller is sharding onto (the driver's multi-chip dry-run runs
+        # on a CPU mesh while the default backend is a tunneled TPU).
+        arr = np.asarray(x)
+        if force_dtype is not None:
+            arr = arr.astype(force_dtype)
+        elif np.issubdtype(arr.dtype, np.floating):
+            arr = arr.astype(dtype)
         if sharding is not None:
-            arr = jax.device_put(arr, sharding)
-        return arr
+            return jax.device_put(arr, sharding)
+        return jnp.asarray(arr)
 
     return DeviceSplit(
         features={m: put(windows.features[m]) for m in windows.modalities},
-        labels=jnp.asarray(windows.labels, dtype=jnp.int32),
-        lengths=jnp.asarray(windows.lengths, dtype=jnp.int32),
+        labels=put(windows.labels, force_dtype=np.int32),
+        lengths=put(windows.lengths, force_dtype=np.int32),
         modalities=tuple(windows.modalities),
     )

@@ -31,9 +31,22 @@ def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     axis_name: str = DATA_AXIS,
 ) -> Mesh:
-    """1-D data-parallel mesh over the first ``num_devices`` devices."""
+    """1-D data-parallel mesh over the first ``num_devices`` devices.
+
+    When the default backend has fewer than ``num_devices`` chips, fall back
+    to the host CPU device pool (``--xla_force_host_platform_device_count``):
+    the tests and the driver's multi-chip dry-run validate the SPMD program on
+    a virtual CPU mesh exactly this way.
+    """
     if devices is None:
         devices = jax.devices()
+        if num_devices is not None and num_devices > len(devices):
+            try:
+                cpu = jax.devices("cpu")
+            except RuntimeError:
+                cpu = []
+            if len(cpu) >= num_devices:
+                devices = cpu
     if num_devices is not None:
         if num_devices > len(devices):
             raise ValueError(
@@ -41,6 +54,19 @@ def make_mesh(
             )
         devices = devices[:num_devices]
     return Mesh(np.array(devices), (axis_name,))
+
+
+def resolve_num_devices(requested) -> int:
+    """Map a ``parallel.num_devices`` config value to a device count.
+
+    ``auto`` = every visible device of the default backend; ``None``/``1``/
+    falsy = single-device (no mesh).
+    """
+    if requested in (None, False, "", "none", "null"):
+        return 1
+    if isinstance(requested, str) and requested.lower() == "auto":
+        return len(jax.devices())
+    return int(requested)
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

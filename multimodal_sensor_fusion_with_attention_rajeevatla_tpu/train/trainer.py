@@ -20,6 +20,7 @@ with a functional design:
 
 from __future__ import annotations
 
+import contextlib
 import json
 import time
 from pathlib import Path
@@ -30,11 +31,13 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..data.dataset import BatchLoader, WindowedSplit
 from ..data.device import DeviceSplit, device_put_split
 from ..models.module import MultimodalFusionModel
 from ..ops.metrics import cross_entropy_loss
+from ..parallel.mesh import make_mesh, replicated_sharding, resolve_num_devices
 from .checkpoint import CheckpointManager
 
 
@@ -140,6 +143,62 @@ class Trainer:
         self.batch_size = int(config.dataset.get("batch_size", 32))
         self.seed = int(config.get("seed", 42))
         self._has_batch_stats = False
+        # SPMD data parallelism over a jax.sharding.Mesh (SURVEY §5/§7.5 —
+        # the TPU-native replacement for the reference's CI-matrix scale-out):
+        # params/opt-state replicated, per-step [S, B] index/weight matrices
+        # sharded on the batch axis, collectives inserted by XLA over ICI.
+        par_cfg = config.get("parallel", {}) or {}
+        self.requested_devices = par_cfg.get("num_devices", 1)
+        self.mesh = None
+
+    # -- mesh / placement ---------------------------------------------------
+    def _ensure_mesh(self):
+        """Build the DP mesh on first use (``parallel.num_devices`` > 1)."""
+        if self.mesh is None:
+            n = resolve_num_devices(self.requested_devices)
+            if n > 1:
+                self.mesh = make_mesh(n)
+        return self.mesh
+
+    def _device_ctx(self):
+        """Pin implicit array creation to the mesh's backend.
+
+        Hermeticity: when training on a (possibly CPU) mesh, no ``jnp.asarray``
+        may allocate on the DEFAULT backend — in the driver's dry-run env the
+        default backend is a tunneled TPU that can be broken while the CPU
+        mesh is fine.
+        """
+        if self.mesh is not None:
+            return jax.default_device(self.mesh.devices.flat[0])
+        return contextlib.nullcontext()
+
+    @property
+    def n_shards(self) -> int:
+        return self.mesh.shape["data"] if self.mesh is not None else 1
+
+    def _effective_batch(self, batch_size: Optional[int] = None) -> int:
+        """Round the batch up to a mesh-divisible size (pad rows get weight 0)."""
+        b = int(batch_size or self.batch_size)
+        n = self.n_shards
+        return ((b + n - 1) // n) * n
+
+    def _step_sharding(self) -> Optional[NamedSharding]:
+        """Sharding for the per-epoch ``[S, B]`` index/weight matrices."""
+        if self.mesh is None:
+            return None
+        return NamedSharding(self.mesh, P(None, "data"))
+
+    def _put_step_matrix(self, mat: np.ndarray, dtype) -> jax.Array:
+        spec = self._step_sharding()
+        mat = np.asarray(mat, dtype)
+        if spec is None:
+            return jnp.asarray(mat)
+        return jax.device_put(mat, spec)
+
+    def _put_split(self, windows: WindowedSplit) -> DeviceSplit:
+        """Device-put a windowed split (replicated over the mesh if any)."""
+        sharding = replicated_sharding(self.mesh) if self.mesh is not None else None
+        return device_put_split(windows, sharding=sharding)
 
     # -- state ------------------------------------------------------------
     def init_state(self, sample_batch, steps_per_epoch: int) -> TrainState:
@@ -334,13 +393,17 @@ class Trainer:
         self, variables, data: DeviceSplit, batch_size: Optional[int] = None
     ) -> np.ndarray:
         """Full-split forward pass -> ``[N, C]`` logits (host numpy)."""
-        batch_size = batch_size or self.batch_size
+        self._ensure_mesh()
+        batch_size = self._effective_batch(batch_size)
         n = data.num_windows
         idx_mat, _ = self._index_matrix(n, batch_size, shuffle=False, seed=0)
         if not hasattr(self, "_eval_fn"):
             self._eval_fn = self.make_eval_fn()
-        logits = self._eval_fn(variables, data, jnp.asarray(idx_mat))
-        logits = np.asarray(logits).reshape(-1, logits.shape[-1])[:n]
+        with self._device_ctx():
+            logits = self._eval_fn(
+                variables, data, self._put_step_matrix(idx_mat, np.int32)
+            )
+            logits = np.asarray(logits).reshape(-1, logits.shape[-1])[:n]
         return logits
 
     def fit(
@@ -351,6 +414,25 @@ class Trainer:
         save_dir: Optional[str | Path] = None,
         log_fn: Optional[Callable[[str], None]] = print,
         resume_from: Optional[str | Path] = None,
+    ) -> Dict[str, Any]:
+        # The whole fit runs with implicit allocation pinned to the mesh's
+        # backend (hermetic: the default backend is never touched when
+        # training on a CPU mesh — see _device_ctx).
+        self._ensure_mesh()
+        with self._device_ctx():
+            return self._fit_inner(
+                train_windows, val_windows, test_windows, save_dir, log_fn,
+                resume_from,
+            )
+
+    def _fit_inner(
+        self,
+        train_windows: WindowedSplit,
+        val_windows: WindowedSplit,
+        test_windows: Optional[WindowedSplit],
+        save_dir: Optional[str | Path],
+        log_fn: Optional[Callable[[str], None]],
+        resume_from: Optional[str | Path],
     ) -> Dict[str, Any]:
         if log_fn is print:  # flush through pipes (nohup/CI logs)
             log_fn = lambda msg: print(msg, flush=True)  # noqa: E731
@@ -364,11 +446,19 @@ class Trainer:
         )
         save_dir.mkdir(parents=True, exist_ok=True)
 
-        train_data = device_put_split(train_windows)
-        val_data = device_put_split(val_windows)
+        mesh = self.mesh
+        if mesh is not None and log_fn:
+            log_fn(
+                f"data-parallel mesh: {self.n_shards} devices "
+                f"({mesh.devices.flat[0].platform}), batch axis sharded"
+            )
+        eff_batch = self._effective_batch()
+
+        train_data = self._put_split(train_windows)
+        val_data = self._put_split(val_windows)
         steps_per_epoch = (
-            train_windows.num_windows + self.batch_size - 1
-        ) // self.batch_size
+            train_windows.num_windows + eff_batch - 1
+        ) // eff_batch
 
         # bootstrap state from one host batch
         boot_loader = BatchLoader(train_windows, self.batch_size)
@@ -383,6 +473,8 @@ class Trainer:
             start_epoch = int(meta.get("epoch", -1)) + 1
             if log_fn:
                 log_fn(f"resumed from {resume_from} at epoch {start_epoch}")
+        if mesh is not None:
+            state = jax.device_put(state, replicated_sharding(mesh))
         epoch_fn = self.make_train_epoch_fn()
 
         ckpt = CheckpointManager(
@@ -405,10 +497,13 @@ class Trainer:
         t_start = time.perf_counter()
         for epoch in range(start_epoch, max_epochs):
             idx_mat, weight_mat = self._index_matrix(
-                train_windows.num_windows, self.batch_size, True, self.seed + epoch
+                train_windows.num_windows, eff_batch, True, self.seed + epoch
             )
             state, train_loss, train_acc = epoch_fn(
-                state, train_data, jnp.asarray(idx_mat), jnp.asarray(weight_mat)
+                state,
+                train_data,
+                self._put_step_matrix(idx_mat, np.int32),
+                self._put_step_matrix(weight_mat, np.float32),
             )
 
             val_logits = self.evaluate_logits(self.variables(state), val_data)
@@ -464,7 +559,7 @@ class Trainer:
             if ckpt.best_model_path:
                 restored, _cfg, _meta = load_checkpoint(ckpt.best_model_path)
                 best_vars = restored
-            test_data = device_put_split(test_windows)
+            test_data = self._put_split(test_windows)
             test_logits = self.evaluate_logits(best_vars, test_data)
             test_labels = np.asarray(test_windows.labels)
             results["test_acc"] = float((test_logits.argmax(-1) == test_labels).mean())

@@ -74,6 +74,54 @@ def test_entry_forward_jits():
     assert bool(jnp.isfinite(out).all())
 
 
+def test_fit_dataparallel_matches_single_device(tiny_model_cfg, tmp_path):
+    """``parallel.num_devices=8`` trains to the same losses as 1-device.
+
+    This exercises the REAL user path (``Trainer.fit`` with the ``parallel:``
+    config block): mesh construction, replicated state, batch-sharded step
+    matrices, sharded eval, and checkpointing of replicated arrays.
+    """
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.data.dataset import (
+        SyntheticMultimodalDataset,
+    )
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.train.trainer import (
+        Trainer,
+    )
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.utils.config import (
+        ConfigNode,
+    )
+
+    n_dev = min(8, len(jax.devices()))
+    dims = {"sensor1": 8, "sensor2": 8}
+    train = SyntheticMultimodalDataset(
+        num_samples=4 * n_dev, num_classes=5, modality_dims=dims,
+        sequence_length=6, split="train",
+    ).windows
+    val = SyntheticMultimodalDataset(
+        num_samples=2 * n_dev, num_classes=5, modality_dims=dims,
+        sequence_length=6, split="val",
+    ).windows
+
+    def run(num_devices):
+        cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+        cfg.set_dotted("dataset.batch_size", 2 * n_dev)
+        cfg.set_dotted("training.max_epochs", 2)
+        cfg.set_dotted("parallel", {"num_devices": num_devices})
+        trainer = Trainer(cfg)
+        results = trainer.fit(
+            train, val, save_dir=tmp_path / f"dp{num_devices}", log_fn=None
+        )
+        return trainer, results
+
+    t1, r1 = run(1)
+    tn, rn = run(n_dev)
+    assert t1.mesh is None
+    assert tn.mesh is not None and tn.mesh.shape["data"] == n_dev
+    for h1, hn in zip(r1["history"], rn["history"]):
+        assert hn["train/loss"] == pytest.approx(h1["train/loss"], rel=2e-4)
+        assert hn["val/loss"] == pytest.approx(h1["val/loss"], rel=2e-4)
+
+
 def test_trainer_epoch_sharded_matches_replicated(tiny_model_cfg):
     """The whole-epoch scan produces the same loss whether the per-step batch
     axis is sharded over the mesh or fully replicated."""
