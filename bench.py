@@ -4,10 +4,13 @@
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-- value: sustained end-to-end windows/sec of the flagship HybridFusion model
-  (4 PAMAP2 modality streams, LSTM encoders over chunk_size=1024 windows) on
-  the current JAX default device (TPU when present), including the device-
-  side batch gathers from the HBM-resident dataset.
+- value: sustained end-to-end windows/sec of the SHIPPING DEFAULT model
+  (config/base.yaml: HybridFusion over 4 PAMAP2 modality streams, transformer
+  encoders + Pallas flash attention, chunk_size=512 windows) on the current
+  JAX default device (TPU when present), including the device-side batch
+  gathers from the HBM-resident dataset. ``BENCH_ENCODER=lstm`` benches the
+  reference-parity LSTM model instead (``BENCH_CHUNK=1024`` for the round-1
+  configuration).
 - vs_baseline: ratio against a torch-CPU re-implementation of the reference's
   hot path measured in-process (the reference is torch-CPU, batch_size=1
   manifest chunks; we give it the same architecture and batch=1 semantics).
@@ -35,7 +38,10 @@ def log(msg: str) -> None:
 
 
 BATCH = int(os.environ.get("BENCH_BATCH", "64"))
-CHUNK = int(os.environ.get("BENCH_CHUNK", "1024"))
+# shipping default: transformer encoders at chunk 512 (config/base.yaml);
+# BENCH_ENCODER=lstm BENCH_CHUNK=1024 reproduces the round-1 LSTM headline
+ENCODER = os.environ.get("BENCH_ENCODER", "transformer")
+CHUNK = int(os.environ.get("BENCH_CHUNK", "512" if ENCODER == "transformer" else "1024"))
 EPOCHS = int(os.environ.get("BENCH_EPOCHS", "3"))
 MODALITIES = ["imu_hand", "imu_chest", "imu_ankle", "heart_rate"]
 DIMS = {"imu_hand": 17, "imu_chest": 17, "imu_ankle": 17, "heart_rate": 1}
@@ -105,11 +111,13 @@ def build_model(pallas=None):
                     if pallas is None
                     else pallas
                 ),
+                # Pallas flash attention fwd+bwd in the transformer encoders
+                "flash_attention": os.environ.get("BENCH_FLASH", "auto"),
                 "encoders": {
                     m: {
                         "type": "sequence",
                         "input_dim": DIMS[m],
-                        "encoder_type": "lstm",
+                        "encoder_type": ENCODER,
                         "num_layers": 1,
                     }
                     for m in MODALITIES
@@ -264,10 +272,12 @@ def bench_tpu(windows) -> dict:
 def bench_torch_cpu_baseline(max_windows: int = 12) -> float:
     """Reference-equivalent hot path on torch CPU, batch_size=1 chunks.
 
-    Architecture mirrors the reference flagship: 4 single-layer LSTM(256)
-    encoders + linear projections to 128, per-modality projection to 256,
-    M(M-1) single-head-style attention projections, gates + classifier —
-    dominated (as in the reference) by the LSTM scans over 1024 steps.
+    Architecture mirrors the reference flagship with the SAME encoder type as
+    the benched model (``src/encoders.py:16-208`` supports both): either 4
+    single-layer LSTM(256) encoders or 4 single-layer transformer encoders
+    (input proj -> TransformerEncoderLayer(256, nhead=4) -> mean pool), each
+    + linear projections to 128, then per-modality projection to 256,
+    M(M-1) single-head-style attention projections, gates + classifier.
     """
     try:
         import torch
@@ -278,15 +288,31 @@ def bench_torch_cpu_baseline(max_windows: int = 12) -> float:
 
     torch.set_num_threads(min(4, os.cpu_count() or 4))
 
+    class TorchTransformerEncoder(nn.Module):
+        def __init__(self, input_dim):
+            super().__init__()
+            self.inp = nn.Linear(input_dim, 256)
+            self.layer = nn.TransformerEncoderLayer(
+                256, nhead=4, dim_feedforward=2048, batch_first=True
+            )
+
+        def forward(self, x):
+            return self.layer(self.inp(x)).mean(dim=1)
+
     class RefHotPath(nn.Module):
         def __init__(self):
             super().__init__()
-            self.encoders = nn.ModuleDict(
-                {
-                    m: nn.LSTM(DIMS[m], 256, num_layers=1, batch_first=True)
-                    for m in MODALITIES
-                }
-            )
+            if ENCODER == "transformer":
+                self.encoders = nn.ModuleDict(
+                    {m: TorchTransformerEncoder(DIMS[m]) for m in MODALITIES}
+                )
+            else:
+                self.encoders = nn.ModuleDict(
+                    {
+                        m: nn.LSTM(DIMS[m], 256, num_layers=1, batch_first=True)
+                        for m in MODALITIES
+                    }
+                )
             self.enc_proj = nn.ModuleDict(
                 {m: nn.Linear(256, 128) for m in MODALITIES}
             )
@@ -314,8 +340,12 @@ def bench_torch_cpu_baseline(max_windows: int = 12) -> float:
         def forward(self, feats):
             enc = {}
             for m in MODALITIES:
-                _, (h, _) = self.encoders[m](feats[m])
-                enc[m] = self.ln[m](self.enc_proj[m](h[-1]))
+                if ENCODER == "transformer":
+                    pooled = self.encoders[m](feats[m])
+                else:
+                    _, (h, _) = self.encoders[m](feats[m])
+                    pooled = h[-1]
+                enc[m] = self.ln[m](self.enc_proj[m](pooled))
             proj = {m: torch.relu(self.proj[m](enc[m])) for m in MODALITIES}
             agg = []
             for q in MODALITIES:
@@ -368,6 +398,8 @@ def main():
         "metric": "PAMAP2 windows/sec/chip (preprocess+fwd)",
         "value": round(tpu["windows_per_sec"], 2),
         "unit": "windows/s",
+        "model": f"hybrid-{ENCODER}" + ("-flash" if ENCODER == "transformer" else ""),
+        "chunk_size": CHUNK,
         "vs_baseline": round(tpu["windows_per_sec"] / baseline_wps, 2),
         "p50_latency_ms_per_window": round(tpu["p50_latency_ms_per_window"], 4),
         "baseline_cpu_windows_per_sec": round(baseline_wps, 2),

@@ -100,6 +100,79 @@ def evaluate_model(
     return metrics
 
 
+def _parse_latency_batch(batch):
+    """Best-effort parsing of loose batch containers (reference
+    ``src/eval.py:133-165``): a features Mapping, or a Sequence
+    ``(features[, labels[, mask[, lengths...]]])``. Returns ``None`` when the
+    batch is unusable."""
+    from collections.abc import Mapping, Sequence as SeqABC
+
+    if isinstance(batch, Mapping):
+        return dict(batch), None, None, None
+    if isinstance(batch, SeqABC) and len(batch) > 0:
+        first = batch[0]
+        if isinstance(first, Mapping):
+            labels = batch[1] if len(batch) > 1 else None
+            mask = batch[2] if len(batch) > 2 else None
+            lengths = batch[3] if len(batch) > 3 else None
+            return dict(first), labels, mask, lengths
+    return None
+
+
+def _infer_batch_size(labels, features) -> Optional[int]:
+    if hasattr(labels, "shape") and getattr(labels, "shape", ()):
+        return int(labels.shape[0])
+    for tensor in features.values():
+        if hasattr(tensor, "shape") and getattr(tensor, "shape", ()):
+            return int(tensor.shape[0])
+    return None
+
+
+def _latency_over_batches(model, variables, batches) -> Tuple[float, float]:
+    """Latency sweep over an arbitrary iterable of batches with the
+    reference's skip-with-warning tolerance (``src/eval.py:185-221``)."""
+    per_sample_ms: List[float] = []
+    jitted = jax.jit(
+        lambda variables, features, mask, lengths: jnp.sum(
+            model.apply(variables, features, mask, lengths, train=False)
+        )
+    )
+    for batch in batches:
+        parsed = _parse_latency_batch(batch)
+        if parsed is None:
+            print("  Warning: Unable to parse batch for latency measurement, skipping.")
+            continue
+        features, labels, mask, lengths = parsed
+        batch_size = _infer_batch_size(labels, features)
+        if not batch_size:
+            print("  Warning: Unable to infer batch size for latency measurement, skipping.")
+            continue
+        if not features:
+            print("  Warning: Empty feature dict encountered during latency measurement, skipping.")
+            continue
+        try:
+            features = {k: jnp.asarray(v) for k, v in features.items()}
+        except (TypeError, ValueError):
+            print("  Warning: Non-tensor feature encountered, skipping batch for latency measurement.")
+            continue
+        if mask is None:
+            mask = jnp.ones((batch_size, max(1, len(features))), jnp.float32)
+        else:
+            mask = jnp.asarray(mask)
+        lengths = jnp.asarray(lengths) if lengths is not None else None
+        t0 = time.perf_counter()
+        try:
+            float(jitted(variables, features, mask, lengths))
+        except (TypeError, ValueError):
+            print("  Warning: Model call failed during latency measurement, skipping batch.")
+            continue
+        per_sample_ms.append((time.perf_counter() - t0) / batch_size * 1000.0)
+    if not per_sample_ms:
+        return 0.0, 0.0
+    arr = np.asarray(per_sample_ms)
+    return float(arr.mean()), float(arr.std(ddof=0))
+
+
 def measure_inference_latency(
     model: MultimodalFusionModel,
     variables: Dict[str, Any],
@@ -113,7 +186,13 @@ def measure_inference_latency(
     Unlike the reference's eager wall-clock loop, timing here brackets
     ``block_until_ready`` on a pre-compiled program, so it measures steady-
     state device latency (what serving sees), not tracing overhead.
+
+    Tolerates loose inputs: besides the device-resident split, any iterable
+    of batches is accepted with the reference's best-effort parse +
+    skip-with-warning semantics (``src/eval.py:133-165,185-221``).
     """
+    if not isinstance(windows, (DeviceSplit, WindowedSplit)):
+        return _latency_over_batches(model, variables, windows)
     data = windows if isinstance(windows, DeviceSplit) else device_put_split(windows)
     n = data.num_windows
     idx_mat, steps = _index_matrix(n, batch_size)
@@ -143,6 +222,45 @@ def measure_inference_latency(
         return 0.0, 0.0
     arr = np.asarray(per_sample_ms)
     return float(arr.mean()), float(arr.std(ddof=0))
+
+
+def measure_amortized_latency(
+    model: MultimodalFusionModel,
+    variables: Dict[str, Any],
+    data: DeviceSplit,
+    batch_size: int = 32,
+    repeats: int = 4,
+) -> float:
+    """Amortised per-window ms over a whole-split scan (one dispatch).
+
+    The per-batch numbers above include the host->device dispatch round-trip
+    (~35-45 ms on the tunneled backend) per batch; sustained serving pipelines
+    many batches per dispatch. This runs the full split inside ONE jitted
+    ``lax.scan`` ``repeats`` times and fences once — the honest steady-state
+    throughput number.
+    """
+    n = data.num_windows
+    idx_mat, _steps = _index_matrix(n, batch_size)
+    idx = jnp.asarray(idx_mat)
+
+    @jax.jit
+    def sweep(variables, data, idx_mat):
+        def body(acc, idx):
+            features, _labels, lengths = data.gather(idx)
+            mask = jnp.ones((idx.shape[0], len(data.modalities)), jnp.float32)
+            logits = model.apply(variables, features, mask, lengths, train=False)
+            return acc + jnp.sum(logits), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), idx_mat)
+        return acc
+
+    float(sweep(variables, data, idx))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        acc = sweep(variables, data, idx)
+    float(acc)  # device->host fence
+    elapsed = time.perf_counter() - t0
+    return elapsed / (repeats * idx.shape[0] * batch_size) * 1000.0
 
 
 # ---------------------------------------------------------------------------
@@ -430,7 +548,9 @@ def run_evaluation(
     latency_mean_ms, latency_std_ms = measure_inference_latency(
         model, variables, test_data, batch_size
     )
+    amortized_ms = measure_amortized_latency(model, variables, test_data, batch_size)
     print(f"Per-sample inference time: {latency_mean_ms:.3f} ± {latency_std_ms:.3f} ms")
+    print(f"Amortized (pipelined) per-sample time: {amortized_ms:.3f} ms")
 
     per_class = {}
     for cls in np.unique(labels):
@@ -448,6 +568,9 @@ def run_evaluation(
         "nll": nll,
         "inference_ms_mean": latency_mean_ms,
         "inference_ms_std": latency_std_ms,
+        # per-batch numbers above include one host->device dispatch round-trip
+        # (~35-45 ms on tunneled backends); this is the pipelined steady-state
+        "inference_ms_amortized": amortized_ms,
         "per_class_accuracy": per_class,
         "num_test_windows": int(labels.shape[0]),
     }
@@ -487,27 +610,26 @@ def run_evaluation(
         bool(eval_cfg.get("uncertainty_analysis", False))
         and str(unc_cfg.get("method", "dropout")) == "dropout"
     ):
-        # Epistemic uncertainty via MC dropout over (a slice of) the test set.
-        from .uncertainty import MCDropoutUncertainty
+        # Epistemic uncertainty via MC dropout over the FULL test set
+        # (reference sweeps the whole loader, src/uncertainty.py:19-71).
+        # Memory-bounded: lax.scan over batches x lax.map over sample keys —
+        # peak memory is one (batch, sample) forward, coverage is every window.
+        from .uncertainty import mc_dropout_over_split
 
         print("\nMC-dropout uncertainty analysis...")
         num_mc = int(unc_cfg.get("num_mc_samples", 10))
-        mcd = MCDropoutUncertainty(model, variables, num_samples=num_mc)
-        # one batch: the vmap over MC samples multiplies activation memory by
-        # num_mc (O(T^2) transformer attention OOMs at larger probe sizes)
-        n_probe = min(test_data.num_windows, batch_size)
-        idx = jnp.arange(n_probe, dtype=jnp.int32)
-        probe_feats, _probe_labels, probe_lengths = test_data.gather(idx)
-        probe_mask = jnp.ones((n_probe, len(test_data.modalities)), jnp.float32)
-        _mean_logits, variance = mcd(probe_feats, probe_mask, probe_lengths)
+        _mean_logits, variance = mc_dropout_over_split(
+            model, variables, test_data, num_samples=num_mc,
+            batch_size=batch_size,
+        )
         uncertainty_results["mc_dropout"] = {
             "num_samples": num_mc,
-            "mean_uncertainty": float(jnp.mean(variance)),
-            "max_uncertainty": float(jnp.max(variance)),
-            "num_windows": int(n_probe),
+            "mean_uncertainty": float(np.mean(variance)),
+            "max_uncertainty": float(np.max(variance)),
+            "num_windows": int(test_data.num_windows),
         }
         print(
-            f"mean predictive variance over {n_probe} windows: "
+            f"mean predictive variance over {test_data.num_windows} windows: "
             f"{uncertainty_results['mc_dropout']['mean_uncertainty']:.5f}"
         )
 
@@ -521,7 +643,10 @@ def run_evaluation(
         val_data = device_put_split(val_w)
         val_logits = forward_all(model, variables, val_data, batch_size)
         ts = TemperatureScaling()
-        ts.calibrate(val_logits, np.asarray(val_data.labels))
+        # ECE-guarded: considers {1, NLL-fit T, grid} and keeps whichever
+        # minimises val ECE — the raw NLL fit over-sharpens on the tiny
+        # surviving-subset val splits and can WORSEN calibration
+        ts.calibrate_guarded(val_logits, np.asarray(val_data.labels), num_bins)
         scaled = np.asarray(ts(logits))
         scaled_probs = np.asarray(jax.nn.softmax(jnp.asarray(scaled), axis=-1))
         scaled_conf = scaled_probs.max(-1)

@@ -151,8 +151,10 @@ class _TransformerEncoderLayer(nn.Module):
     num_heads: int
     dim_feedforward: int = 2048
     dropout: float = 0.1
-    # flash (tiled online-softmax Pallas) attention on inference calls; the
-    # O(T^2) score tensor never materialises (ops/pallas_attention.py)
+    # flash (tiled online-softmax Pallas) attention, forward AND backward
+    # (custom VJP): the O(T^2) score tensor never materialises in training or
+    # inference (ops/pallas_attention.py). Attention-prob dropout is skipped
+    # on this path.
     use_flash: bool = False
 
     @nn.compact
@@ -171,9 +173,14 @@ class _TransformerEncoderLayer(nn.Module):
         q = proj("q_proj")(x).reshape(batch, seq_len, self.num_heads, head_dim)
         k = proj("k_proj")(x).reshape(batch, seq_len, self.num_heads, head_dim)
         v = proj("v_proj")(x).reshape(batch, seq_len, self.num_heads, head_dim)
-        if self.use_flash and not train:
+        if self.use_flash:
             from ..ops.pallas_attention import flash_self_attention
 
+            # Training runs through the Pallas forward+backward kernel pair
+            # (custom VJP) — the O(T^2) score tensor never materialises in
+            # either pass. Attention-PROBABILITY dropout is not applied on
+            # this path (the [T, T] weight tile only exists inside the
+            # kernel); residual/ffn/output dropouts below are unchanged.
             # suffix padding -> contiguous valid prefix; mask == lengths
             lengths = (
                 jnp.sum(key_padding_mask, axis=-1).astype(jnp.int32)

@@ -1,25 +1,34 @@
-"""Flash (tiled, online-softmax) self-attention for temporal encoders.
+"""Flash (tiled, online-softmax) self-attention — forward AND backward kernels.
 
 The reference's transformer sequence encoder and TemporalAttention are vanilla
 O(T^2) attention (``src/encoders.py:99-111``, ``src/attention.py:149-251``) —
 at chunk_size 1024-2048 the ``[B, heads, T, T]`` score tensor dominates
-memory. This kernel computes attention block-by-block with the online-softmax
-recurrence, so scores never materialise beyond a ``[block_q, block_k]`` tile
-in VMEM:
+memory. These kernels compute attention block-by-block with the
+online-softmax recurrence, so scores never materialise beyond a
+``[block_q, block_k]`` tile in VMEM:
 
-- grid = (batch*heads, T/block_q, T/block_k) with the key axis innermost;
-  m/l/acc statistics live in VMEM scratch across key blocks (TPU grids are
-  sequential, scratch persists),
+- FORWARD: grid = (batch*heads, T/block_q, T/block_k) with the key axis
+  innermost; m/l/acc statistics live in VMEM scratch across key blocks (TPU
+  grids are sequential, scratch persists). Additionally emits the row
+  log-sum-exp ``lse = m + log(l)`` — the only residual the backward needs
+  beyond q/k/v/out (FlashAttention-2 style).
+- BACKWARD: two kernels sharing the recomputed ``p = exp(s - lse)`` tile.
+  dK/dV walk (bh, k-block, q-block) accumulating ``p^T dO`` and ``ds^T q`` in
+  VMEM scratch; dQ walks (bh, q-block, k-block) accumulating ``ds k``. The
+  softmax-Jacobian term uses ``delta = rowsum(dO * out)``, computed as one
+  fused XLA reduction outside the kernels.
 - key-padding masks from per-row valid lengths (the data pipeline's padded
-  windows) fold into the score tile before the softmax update,
-- fully-masked query rows produce EXACTLY zero output (the framework's
-  all-masked -> zeros contract, same as ``ops.masked.masked_softmax``).
+  windows) fold into every score tile; fully-masked query rows produce
+  EXACTLY zero output and zero gradients (the framework's all-masked -> zeros
+  contract, same as ``ops.masked.masked_softmax``).
 
-Forward-only, used on inference paths; validated against the XLA reference in
-``tests/test_pallas.py``. Precision note: the in-kernel dots run at the
-backend's default matmul precision (bf16 multiplies on TPU), matching the XLA
-attention path's own default — outputs agree to ~1e-3 at DEFAULT precision
-and to ~1e-6 under ``jax.default_matmul_precision('highest')``.
+The custom VJP makes the transformer encoders train through these kernels
+(the shipping PAMAP2 default); gradient equivalence vs ``jax.grad`` of the
+XLA attention path is pinned in ``tests/test_pallas.py``. Precision note: the
+in-kernel dots run at the backend's default matmul precision (bf16 multiplies
+on TPU), matching the XLA attention path's own default — outputs agree to
+~1e-3 at DEFAULT precision and to ~1e-6 under
+``jax.default_matmul_precision('highest')``.
 """
 
 from __future__ import annotations
@@ -40,6 +49,8 @@ def _flash_kernel(
     v_ref,    # VMEM [1, block_k, d]
     len_ref,  # VMEM [BH, 1] int32 valid key length per (batch*head) row
     o_ref,    # VMEM [1, block_q, d]
+    lse_ref,  # VMEM out [1, block_q, 1] row log-sum-exp (trailing singleton
+              # keeps the TPU block layout legal: sublane dim = block_q)
     m_ref,    # scratch VMEM [block_q, 1]
     l_ref,    # scratch VMEM [block_q, 1]
     acc_ref,  # scratch VMEM [block_q, d]
@@ -89,8 +100,309 @@ def _flash_kernel(
     @pl.when(kb == num_kb - 1)
     def _emit():
         l = l_ref[:]
-        # fully-masked query rows: l == 0 -> exactly zero output
+        # fully-masked query rows: l == 0 -> exactly zero output, lse NEG_INF
         o_ref[0] = jnp.where(l > 0, acc_ref[:] / jnp.where(l > 0, l, 1.0), 0.0)
+        lse = jnp.where(
+            l > 0, m_ref[:] + jnp.log(jnp.where(l > 0, l, 1.0)), NEG_INF
+        )
+        lse_ref[0] = lse  # [block_q, 1]
+
+
+def _flash_forward(qf, kf, vf, len_bh, *, block_q, block_k, sm_scale, interpret):
+    """Padded/flattened forward: ``[BH, T, d]`` -> (out, lse ``[BH, T]``)."""
+    # float lengths cross the custom-VJP boundary (a well-typed zero
+    # cotangent slot); the kernels compare against int32
+    len_bh = len_bh.astype(jnp.int32)
+    bh, padded_len, d = qf.shape
+    kernel = functools.partial(
+        _flash_kernel, block_q=block_q, block_k=block_k, sm_scale=sm_scale
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(bh, padded_len // block_q, padded_len // block_k),
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, block_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, block_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, block_q, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, padded_len, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, padded_len, 1), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * padded_len * padded_len * d,
+            bytes_accessed=3 * qf.size * 4 + qf.size * 4,
+            transcendentals=bh * padded_len * padded_len,
+        ),
+    )(qf, kf, vf, len_bh)
+    return out, lse
+
+
+def _dkv_kernel(
+    q_ref,      # VMEM [1, block_q, d]
+    k_ref,      # VMEM [1, block_k, d]
+    v_ref,      # VMEM [1, block_k, d]
+    do_ref,     # VMEM [1, block_q, d]
+    lse_ref,    # VMEM [1, block_q, 1]
+    delta_ref,  # VMEM [1, block_q, 1]
+    len_ref,    # VMEM [BH, 1] int32
+    dk_ref,     # VMEM out [1, block_k, d]
+    dv_ref,     # VMEM out [1, block_k, d]
+    dk_acc,     # scratch VMEM [block_k, d]
+    dv_acc,     # scratch VMEM [block_k, d]
+    *,
+    block_q: int,
+    block_k: int,
+    sm_scale: float,
+):
+    bh = pl.program_id(0)
+    kb = pl.program_id(1)
+    qb = pl.program_id(2)
+    num_qb = pl.num_programs(2)
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]          # [block_q, d]
+    k = k_ref[0]          # [block_k, d]
+    do = do_ref[0]        # [block_q, d]
+    lse = lse_ref[0]      # [block_q, 1]
+    delta = delta_ref[0]  # [block_q, 1]
+    valid_len = len_ref[bh, 0]
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale  # [block_q, block_k]
+    col_ids = kb * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1
+    )
+    # p = exp(s - lse); masked columns and fully-masked rows (lse == NEG_INF)
+    # contribute exactly zero
+    p = jnp.exp(scores - jnp.maximum(lse, NEG_INF / 2))
+    p = jnp.where((col_ids < valid_len) & (lse > NEG_INF / 2), p, 0.0)
+
+    # dV += p^T dO
+    dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # dp = dO v^T ; ds = p * (dp - delta) * scale
+    dp = jax.lax.dot_general(
+        do, v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta) * sm_scale
+    # dK += ds^T q
+    dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(qb == num_qb - 1)
+    def _emit():
+        dk_ref[0] = dk_acc[:]
+        dv_ref[0] = dv_acc[:]
+
+
+def _dq_kernel(
+    q_ref,      # VMEM [1, block_q, d]
+    k_ref,      # VMEM [1, block_k, d]
+    v_ref,      # VMEM [1, block_k, d]
+    do_ref,     # VMEM [1, block_q, d]
+    lse_ref,    # VMEM [1, block_q, 1]
+    delta_ref,  # VMEM [1, block_q, 1]
+    len_ref,    # VMEM [BH, 1] int32
+    dq_ref,     # VMEM out [1, block_q, d]
+    dq_acc,     # scratch VMEM [block_q, d]
+    *,
+    block_q: int,
+    block_k: int,
+    sm_scale: float,
+):
+    bh = pl.program_id(0)
+    qb = pl.program_id(1)
+    kb = pl.program_id(2)
+    num_kb = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]      # [block_q, 1]
+    delta = delta_ref[0]  # [block_q, 1]
+    valid_len = len_ref[bh, 0]
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale
+    col_ids = kb * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1
+    )
+    p = jnp.exp(scores - jnp.maximum(lse, NEG_INF / 2))
+    p = jnp.where((col_ids < valid_len) & (lse > NEG_INF / 2), p, 0.0)
+
+    dp = jax.lax.dot_general(
+        do, v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta) * sm_scale
+    # dQ += ds k
+    dq_acc[:] = dq_acc[:] + jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kb == num_kb - 1)
+    def _emit():
+        dq_ref[0] = dq_acc[:]
+
+
+def _flash_backward(
+    qf, kf, vf, len_bh, out, lse, dof, *, block_q, block_k, sm_scale, interpret
+):
+    len_bh = len_bh.astype(jnp.int32)
+    bh, padded_len, d = qf.shape
+    # softmax-Jacobian row term, one fused XLA reduction
+    delta = jnp.sum(dof * out, axis=-1, keepdims=True)  # [BH, T, 1]
+
+    q_spec_kq = pl.BlockSpec(
+        (1, block_q, d), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    k_spec_kq = pl.BlockSpec(
+        (1, block_k, d), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM
+    )
+    row_spec_kq = pl.BlockSpec(
+        (1, block_q, 1), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    dkv_kernel = functools.partial(
+        _dkv_kernel, block_q=block_q, block_k=block_k, sm_scale=sm_scale
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(bh, padded_len // block_k, padded_len // block_q),
+        in_specs=[
+            q_spec_kq,
+            k_spec_kq,
+            k_spec_kq,
+            q_spec_kq,
+            row_spec_kq,
+            row_spec_kq,
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, block_k, d), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, block_k, d), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, padded_len, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, padded_len, d), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * bh * padded_len * padded_len * d,
+            bytes_accessed=6 * qf.size * 4,
+            transcendentals=bh * padded_len * padded_len,
+        ),
+    )(qf, kf, vf, dof, lse, delta, len_bh)
+
+    q_spec_qk = pl.BlockSpec(
+        (1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    k_spec_qk = pl.BlockSpec(
+        (1, block_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
+    )
+    row_spec_qk = pl.BlockSpec(
+        (1, block_q, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    dq_kernel = functools.partial(
+        _dq_kernel, block_q=block_q, block_k=block_k, sm_scale=sm_scale
+    )
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(bh, padded_len // block_q, padded_len // block_k),
+        in_specs=[
+            q_spec_qk,
+            k_spec_qk,
+            k_spec_qk,
+            q_spec_qk,
+            row_spec_qk,
+            row_spec_qk,
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((bh, padded_len, d), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * padded_len * padded_len * d,
+            bytes_accessed=5 * qf.size * 4,
+            transcendentals=bh * padded_len * padded_len,
+        ),
+    )(qf, kf, vf, dof, lse, delta, len_bh)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_core(config, qf, kf, vf, len_bh):
+    block_q, block_k, sm_scale, interpret = config
+    out, _lse = _flash_forward(
+        qf, kf, vf, len_bh,
+        block_q=block_q, block_k=block_k, sm_scale=sm_scale, interpret=interpret,
+    )
+    return out
+
+
+def _flash_core_fwd(config, qf, kf, vf, len_bh):
+    block_q, block_k, sm_scale, interpret = config
+    out, lse = _flash_forward(
+        qf, kf, vf, len_bh,
+        block_q=block_q, block_k=block_k, sm_scale=sm_scale, interpret=interpret,
+    )
+    return out, (qf, kf, vf, len_bh, out, lse)
+
+
+def _flash_core_bwd(config, res, dout):
+    block_q, block_k, sm_scale, interpret = config
+    qf, kf, vf, len_bh, out, lse = res
+    dq, dk, dv = _flash_backward(
+        qf, kf, vf, len_bh, out, lse, dout.astype(jnp.float32),
+        block_q=block_q, block_k=block_k, sm_scale=sm_scale, interpret=interpret,
+    )
+    return dq, dk, dv, jnp.zeros_like(len_bh)
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
 def flash_self_attention(
@@ -99,11 +411,20 @@ def flash_self_attention(
     v: jax.Array,
     lengths: jax.Array | None = None,  # [B] valid timesteps (keys+queries)
     sm_scale: float | None = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 512,
+    block_k: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
-    """Tiled attention; returns ``[B, H, T, d]``. Scores never hit HBM."""
+    """Tiled attention; returns ``[B, H, T, d]``. Scores never hit HBM.
+
+    Differentiable: gradients w.r.t. q/k/v run through the Pallas backward
+    kernels (custom VJP) — the transformer encoders train through this.
+
+    Default blocks 512x512 from a measured v5e sweep (B=32, H=4, d=64,
+    grad-call incl. fwd+bwd): vs the XLA O(T^2) path 1.30x at T=512,
+    1.74x at T=1024, 2.57x at T=2048; block 128 was uniformly worse
+    (grid overhead dominates at these head dims).
+    """
     batch, heads, seq_len, d = q.shape
     if sm_scale is None:
         sm_scale = d**-0.5
@@ -121,46 +442,17 @@ def flash_self_attention(
 
     if lengths is None:
         lengths = jnp.full((batch,), seq_len, jnp.int32)
-    len_bh = jnp.repeat(lengths.astype(jnp.int32), heads).reshape(batch * heads, 1)
-
-    qf = q.reshape(batch * heads, padded_len, d)
-    kf = k.reshape(batch * heads, padded_len, d)
-    vf = v.reshape(batch * heads, padded_len, d)
-
-    kernel = functools.partial(
-        _flash_kernel, block_q=block_q, block_k=block_k, sm_scale=sm_scale
+    len_bh = (
+        jnp.repeat(lengths, heads).reshape(batch * heads, 1).astype(jnp.float32)
     )
-    out = pl.pallas_call(
-        kernel,
-        grid=(batch * heads, padded_len // block_q, padded_len // block_k),
-        in_specs=[
-            pl.BlockSpec(
-                (1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, block_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, block_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
-        out_shape=jax.ShapeDtypeStruct((batch * heads, padded_len, d), jnp.float32),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=4 * batch * heads * padded_len * padded_len * d,
-            bytes_accessed=3 * qf.size * 4 + qf.size * 4,
-            transcendentals=batch * heads * padded_len * padded_len,
-        ),
-    )(qf.astype(jnp.float32), kf.astype(jnp.float32), vf.astype(jnp.float32), len_bh)
+    len_bh = jax.lax.stop_gradient(len_bh)
+
+    qf = q.reshape(batch * heads, padded_len, d).astype(jnp.float32)
+    kf = k.reshape(batch * heads, padded_len, d).astype(jnp.float32)
+    vf = v.reshape(batch * heads, padded_len, d).astype(jnp.float32)
+
+    config = (block_q, block_k, float(sm_scale), bool(interpret))
+    out = _flash_core(config, qf, kf, vf, len_bh)
     out = out.reshape(batch, heads, padded_len, d)
     if pad:
         out = out[:, :, :seq_len]

@@ -155,6 +155,63 @@ class MCDropoutUncertainty:
         return predictor(features, mask, lengths)
 
 
+def mc_dropout_over_split(
+    model,
+    variables,
+    data,
+    num_samples: int = 10,
+    batch_size: int = 32,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """MC-dropout over a FULL device-resident split, memory-bounded.
+
+    The reference sweeps the entire loader (``src/uncertainty.py:19-71``).
+    Naively vmapping the sample axis multiplies activation memory by
+    ``num_samples`` (O(T^2) transformer attention OOMs); here ONE jitted
+    program runs an outer ``lax.scan`` over batches with an inner ``lax.map``
+    over dropout keys — peak memory is a single (batch, sample) forward while
+    still covering every window. Returns host ``(mean_logits [N, C],
+    predictive_variance [N])``.
+    """
+    n = data.num_windows
+    steps = (n + batch_size - 1) // batch_size
+    idx_flat = np.concatenate(
+        [np.arange(n), np.zeros(steps * batch_size - n, np.int64)]
+    )
+    idx_mat = jnp.asarray(idx_flat.reshape(steps, batch_size), jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(seed), num_samples)
+    has_batch_stats = "batch_stats" in variables
+    num_mod = len(data.modalities)
+
+    @jax.jit
+    def run(variables, data, idx_mat):
+        def body(_, idx):
+            features, _labels, lengths = data.gather(idx)
+            mask = jnp.ones((idx.shape[0], num_mod), jnp.float32)
+
+            def one_sample(key):
+                out = model.apply(
+                    variables, features, mask, lengths, train=True,
+                    rngs={"dropout": key},
+                    mutable=["batch_stats"] if has_batch_stats else False,
+                )
+                return out[0] if has_batch_stats else out
+
+            logits = jax.lax.map(one_sample, keys)  # [S, B, C] sequential in S
+            probs = jax.nn.softmax(logits, axis=-1)
+            mean_logits = jnp.mean(logits, axis=0)
+            variance = jnp.mean(jnp.var(probs, axis=0, ddof=0), axis=-1)
+            return _, (mean_logits, variance)
+
+        _, (means, variances) = jax.lax.scan(body, None, idx_mat)
+        return means, variances
+
+    means, variances = run(variables, data, idx_mat)
+    means = np.asarray(means).reshape(-1, means.shape[-1])[:n]
+    variances = np.asarray(variances).reshape(-1)[:n]
+    return means, variances
+
+
 def uncertainty_weighted_fusion(
     modality_predictions: Mapping[str, jax.Array],
     modality_uncertainties: Mapping[str, jax.Array],
@@ -328,6 +385,73 @@ class TemperatureScaling:
         )
         del lr  # accepted for API parity; L-BFGS needs no learning rate
         self.temperature = max(float(np.exp(result.x[0])), 1e-3)
+        return self.temperature
+
+    def calibrate_guarded(
+        self,
+        logits,
+        labels,
+        num_bins: int = 15,
+        max_iter: int = 50,
+        min_windows: int = 30,
+    ) -> float:
+        """ECE-guarded calibration: never worse than ``T=1`` on the fit split,
+        and robust to tiny splits.
+
+        The raw NLL fit can OVER-sharpen on tiny validation splits (45-89
+        windows on the surviving PAMAP2 subset) and worsen test ECE. This
+        variant:
+
+        - keeps T=1 outright when the split has < ``min_windows`` windows
+          (too little signal to calibrate on),
+        - restricts candidates to a conservative range ``[0.5, 2.5]`` plus
+          the (clipped) NLL-fit T,
+        - 2-fold cross-check: a candidate must improve ECE on BOTH
+          interleaved halves of the split AND overall (an extreme T that
+          happens to fit one half's noise does not survive),
+        - requires a non-trivial improvement (0.005 absolute) over T=1,
+          falling back to the identity otherwise — scaling can only help.
+        """
+        logits_np = np.asarray(logits, np.float32)
+        labels_np = np.asarray(labels)
+        n = labels_np.shape[0]
+        if n < min_windows:
+            self.temperature = 1.0
+            return self.temperature
+
+        def ece_at(t: float, sel=slice(None)) -> float:
+            probs = np.asarray(
+                jax.nn.softmax(jnp.asarray(logits_np[sel] / t), axis=-1)
+            )
+            return expected_calibration_error(
+                probs.max(-1), probs.argmax(-1), labels_np[sel], num_bins
+            )
+
+        t_nll = TemperatureScaling()
+        t_nll.calibrate(logits_np, labels_np, max_iter=max_iter)
+        candidates = sorted(
+            set(
+                [float(np.clip(t_nll.temperature, 0.5, 2.5))]
+                + np.exp(np.linspace(np.log(0.5), np.log(2.5), 21)).tolist()
+            )
+        )
+        fold_a = np.arange(n) % 2 == 0
+        fold_b = ~fold_a
+        base = ece_at(1.0)
+        base_a = ece_at(1.0, fold_a)
+        base_b = ece_at(1.0, fold_b)
+
+        best_t, best_ece = 1.0, base
+        for t in candidates:
+            e = ece_at(t)
+            if (
+                e < base - 0.005
+                and e < best_ece - 1e-9
+                and ece_at(t, fold_a) <= base_a + 1e-9
+                and ece_at(t, fold_b) <= base_b + 1e-9
+            ):
+                best_t, best_ece = float(t), e
+        self.temperature = best_t
         return self.temperature
 
 

@@ -147,6 +147,42 @@ class TestLatency:
         assert mean_ms > 0
         assert std_ms >= 0
 
+    def test_amortized_latency(self, fitted):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.evaluate import (
+            measure_amortized_latency,
+        )
+
+        model, variables, test_w = fitted
+        ms = measure_amortized_latency(
+            model, variables, device_put_split(test_w), batch_size=8, repeats=2
+        )
+        assert ms > 0
+
+    def test_malformed_batches_skipped_with_warning(self, fitted, capsys):
+        """Best-effort parse + skip-with-warning (reference eval.py:185-221)."""
+        model, variables, test_w = fitted
+        data = device_put_split(test_w)
+        idx = jnp.arange(4, dtype=jnp.int32)
+        feats, labels, lengths = data.gather(idx)
+        mask = jnp.ones((4, 2), jnp.float32)
+        good = (dict(feats), labels, mask, lengths)
+        batches = [
+            42,                      # unparseable
+            ("not-a-mapping",),      # unparseable
+            ({}, labels),            # empty features
+            ({"sensor1": "junk"}, labels),  # non-tensor feature
+            good,
+        ]
+        mean_ms, std_ms = measure_inference_latency(model, variables, batches)
+        out = capsys.readouterr().out
+        assert mean_ms > 0
+        assert out.count("Warning:") >= 4
+
+    def test_all_malformed_returns_zero(self, fitted):
+        model, variables, _ = fitted
+        mean_ms, std_ms = measure_inference_latency(model, variables, [1, 2, None])
+        assert (mean_ms, std_ms) == (0.0, 0.0)
+
 
 class TestAttentionViz:
     def test_writes_png_for_hybrid(self, fitted, tmp_path):

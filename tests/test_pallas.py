@@ -242,6 +242,73 @@ class TestFlashAttention:
         assert got.shape == want.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
 
+    def test_gradients_match_xla(self):
+        """Backward kernels (custom VJP) vs jax.grad of the XLA path."""
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_attention import (
+            flash_self_attention,
+        )
+
+        q, k, v = self._rand(seed=4)
+        lengths = jnp.asarray([48, 64], jnp.int32)
+        cotangent = jnp.asarray(
+            np.random.default_rng(9).standard_normal(q.shape), jnp.float32
+        )
+
+        def loss_flash(q, k, v):
+            out = flash_self_attention(
+                q, k, v, lengths, block_q=32, block_k=32, interpret=True
+            )
+            return jnp.sum(out * cotangent)
+
+        def loss_xla(q, k, v):
+            return jnp.sum(self._xla_attention(q, k, v, lengths) * cotangent)
+
+        got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        want = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for g, w, name in zip(got, want, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-5,
+                err_msg=f"d{name} mismatch",
+            )
+
+    def test_gradients_nondivisible_seq_len(self):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_attention import (
+            flash_self_attention,
+        )
+
+        q, k, v = self._rand(T=50, seed=5)
+
+        def loss_flash(q, k, v):
+            out = flash_self_attention(q, k, v, block_q=32, block_k=32, interpret=True)
+            return jnp.sum(out**2)
+
+        def loss_xla(q, k, v):
+            return jnp.sum(self._xla_attention(q, k, v) ** 2)
+
+        got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        want = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-5)
+
+    def test_gradients_zero_length_rows_are_zero_not_nan(self):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_attention import (
+            flash_self_attention,
+        )
+
+        q, k, v = self._rand(seed=6)
+        lengths = jnp.asarray([0, 32], jnp.int32)
+
+        def loss(q, k, v):
+            out = flash_self_attention(
+                q, k, v, lengths, block_q=32, block_k=32, interpret=True
+            )
+            return jnp.sum(out**2)
+
+        dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        for g in (dq, dk, dv):
+            assert bool(jnp.isfinite(g).all())
+            assert float(jnp.abs(g[0]).max()) == 0.0  # fully-masked batch row
+
 
 def test_transformer_encoder_flash_matches_xla():
     from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.models.encoders import (
@@ -259,6 +326,37 @@ def test_transformer_encoder_flash_matches_xla():
     want = plain.apply(variables, x, lengths)
     got = flash.apply(variables, x, lengths)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+def test_transformer_encoder_flash_training_gradients_match_xla():
+    """The shipping default (transformer encoders) TRAINS through the flash
+    kernels: parameter gradients equal the XLA attention path's (dropout off —
+    the flash path doesn't apply attention-prob dropout by design)."""
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.models.encoders import (
+        SequenceEncoder,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((3, 40, 6)), jnp.float32)
+    lengths = jnp.asarray([40, 17, 40], jnp.int32)
+    plain = SequenceEncoder(hidden_dim=16, output_dim=8, num_layers=1,
+                            encoder_type="transformer", dropout=0.0)
+    flash = SequenceEncoder(hidden_dim=16, output_dim=8, num_layers=1,
+                            encoder_type="transformer", dropout=0.0,
+                            flash_attention=True)
+    variables = plain.init(rng, x, lengths)
+
+    def loss(params, model):
+        out = model.apply({"params": params}, x, lengths, train=True,
+                          rngs={"dropout": rng})
+        return jnp.sum(out**2)
+
+    g_plain = jax.grad(loss)(variables["params"], plain)
+    g_flash = jax.grad(loss)(variables["params"], flash)
+    flat_p, _ = jax.tree_util.tree_flatten(g_plain)
+    flat_f, _ = jax.tree_util.tree_flatten(g_flash)
+    for p, f in zip(flat_p, flat_f):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(p), rtol=5e-4, atol=5e-5)
 
 
 class TestTrainableLSTMKernel:

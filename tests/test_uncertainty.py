@@ -102,6 +102,92 @@ class TestTemperatureScaling:
         ts.calibrate(logits, labels)  # pushes T down, floor at 1e-3
         assert ts.temperature >= 1e-3
 
+    def test_guarded_never_worsens_fit_split_ece(self):
+        """calibrate_guarded must not increase ECE on the split it fits —
+        the raw NLL fit can (tiny splits over-sharpen); the guard may not."""
+        rng = np.random.default_rng(3)
+        for trial in range(5):
+            n = 40  # tiny split, like the surviving PAMAP2 val sets
+            labels = rng.integers(0, 5, n)
+            logits = rng.standard_normal((n, 5)) * 3.0
+            logits[np.arange(n), labels] += rng.standard_normal(n) * 2.0
+            probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), -1))
+            before = CalibrationMetrics.expected_calibration_error(
+                probs.max(-1), probs.argmax(-1), labels, 15
+            )
+            ts = TemperatureScaling()
+            ts.calibrate_guarded(logits, labels, num_bins=15)
+            scaled = np.asarray(ts(logits))
+            sp = np.asarray(jax.nn.softmax(jnp.asarray(scaled), -1))
+            after = CalibrationMetrics.expected_calibration_error(
+                sp.max(-1), sp.argmax(-1), labels, 15
+            )
+            assert after <= before + 1e-9, (trial, before, after, ts.temperature)
+
+    def test_guarded_identity_on_calibrated_logits(self):
+        """Already-calibrated logits: guard keeps T == 1 (identity)."""
+        rng = np.random.default_rng(4)
+        labels = rng.integers(0, 3, 600)
+        # well-calibrated-ish logits: moderate scale
+        logits = np.eye(3)[labels] * 1.2 + rng.standard_normal((600, 3)) * 1.1
+        ts = TemperatureScaling()
+        ts.calibrate_guarded(logits, labels)
+        scaled = np.asarray(ts(logits))
+        probs = lambda lg: np.asarray(jax.nn.softmax(jnp.asarray(lg), -1))  # noqa: E731
+        ece = lambda lg: CalibrationMetrics.expected_calibration_error(  # noqa: E731
+            probs(lg).max(-1), probs(lg).argmax(-1), labels, 15
+        )
+        assert ece(scaled) <= ece(logits) + 1e-9
+
+
+class TestMCDropoutOverSplit:
+    def test_full_coverage_and_matches_vmapped(self, tiny_model_cfg):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.data.dataset import (
+            SyntheticMultimodalDataset,
+        )
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.data.device import (
+            device_put_split,
+        )
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.models.module import (
+            MultimodalFusionModel,
+        )
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.uncertainty import (
+            mc_dropout_over_split,
+        )
+
+        model = MultimodalFusionModel.from_config(tiny_model_cfg)
+        windows = SyntheticMultimodalDataset(
+            num_samples=22, num_classes=5,
+            modality_dims={"sensor1": 8, "sensor2": 8}, sequence_length=12,
+        ).windows
+        data = device_put_split(windows)
+        feats, _, lengths = data.gather(jnp.arange(22, dtype=jnp.int32))
+        rng = jax.random.PRNGKey(0)
+        variables = model.init(
+            {"params": rng, "dropout": rng}, feats,
+            jnp.ones((22, 2)), lengths,
+        )
+        # full coverage, batches of 8 (22 % 8 != 0 -> padded final batch)
+        means, variance = mc_dropout_over_split(
+            model, variables, data, num_samples=4, batch_size=8, seed=0
+        )
+        assert means.shape == (22, 5)
+        assert variance.shape == (22,)
+        assert bool(np.isfinite(means).all()) and bool(np.isfinite(variance).all())
+        assert float(variance.max()) > 0  # dropout active
+
+        # one full-size batch -> identical PRNG stream and shapes as the
+        # vmapped wrapper (dropout masks depend on batch shape): exact match
+        means1, var1 = mc_dropout_over_split(
+            model, variables, data, num_samples=4, batch_size=22, seed=0
+        )
+        mcd = MCDropoutUncertainty(model, variables, num_samples=4, seed=0)
+        mean_ref, var_ref = mcd(
+            feats, jnp.ones((22, 2), jnp.float32), lengths
+        )
+        np.testing.assert_allclose(means1, np.asarray(mean_ref), rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(var1, np.asarray(var_ref), rtol=2e-4, atol=2e-7)
+
 
 class TestUncertaintyWeightedFusion:
     def test_low_uncertainty_dominates(self):
