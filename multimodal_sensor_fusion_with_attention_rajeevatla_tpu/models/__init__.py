@@ -15,6 +15,7 @@ from .fusion import (  # noqa: F401
     EarlyFusion,
     LateFusion,
     HybridFusion,
+    UncertaintyFusion,
     build_fusion_model,
 )
 from .module import MultimodalFusionModel  # noqa: F401

@@ -138,6 +138,86 @@ class LateFusion(nn.Module):
         return fused_logits, per_modality_logits
 
 
+class UncertaintyFusion(nn.Module):
+    """Uncertainty-weighted late fusion with learned per-sample log-variances.
+
+    Realises the reference's declared-but-unimplemented ``fusion_type:
+    uncertainty`` option (its ``config/base.yaml:27`` lists it as an extra-
+    credit choice, but the factory ``src/fusion.py:485-515`` rejects it).
+    Per-modality classifier heads as in :class:`LateFusion`, plus a
+    per-modality log-variance head; fusion weights are inverse-variance
+    ``mask * exp(-log_var)`` renormalised per sample, with the same
+    mask-proportional / uniform fallbacks as
+    :func:`uncertainty.uncertainty_weighted_fusion`. Trainable end-to-end
+    and deterministic at eval; MC-dropout refinement of the weights at eval
+    time is available via ``uncertainty.mc_dropout_uncertainty_fusion``.
+    """
+
+    modality_names: Sequence[str]
+    hidden_dim: int = 256
+    num_classes: int = 11
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self,
+        modality_features: Mapping[str, jax.Array],
+        modality_mask: Optional[jax.Array] = None,
+        train: bool = False,
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        names = list(self.modality_names)
+        if not names:
+            raise ValueError("No modalities configured for UncertaintyFusion.")
+        num_mod = len(names)
+        first = names[0]
+        if first not in modality_features:
+            raise KeyError(
+                f"Missing features for modality '{first}' in UncertaintyFusion forward pass."
+            )
+        batch = modality_features[first].shape[0]
+        dtype = modality_features[first].dtype
+        if modality_mask is None:
+            modality_mask = _default_mask(batch, num_mod, dtype)
+        modality_mask = modality_mask.astype(dtype)
+
+        drop = nn.Dropout(self.dropout, deterministic=not train)
+        per_modality_logits: Dict[str, jax.Array] = {}
+        stack = []
+        log_vars = []
+        for idx, name in enumerate(names):
+            if name not in modality_features:
+                raise KeyError(
+                    f"Missing features for modality '{name}' in UncertaintyFusion forward pass."
+                )
+            masked = modality_features[name] * modality_mask[:, idx : idx + 1]
+            h = nn.relu(nn.Dense(self.hidden_dim, name=f"cls_{name}_fc")(drop(masked)))
+            logits = nn.Dense(self.num_classes, name=f"cls_{name}_head")(drop(h))
+            # bounded log-variance keeps exp(-log_var) finite and the
+            # weighting well-conditioned early in training
+            log_var = jnp.clip(
+                nn.Dense(1, name=f"unc_{name}_head")(h)[:, 0], -6.0, 6.0
+            )
+            per_modality_logits[name] = logits
+            stack.append(logits)
+            log_vars.append(log_var)
+
+        stacked_logits = jnp.stack(stack, axis=1)  # (B, M, C)
+        inv_var = jnp.exp(-jnp.stack(log_vars, axis=1))  # (B, M)
+        weighted = inv_var * modality_mask
+        weight_sums = jnp.sum(weighted, axis=1, keepdims=True)
+        mask_sum = jnp.sum(modality_mask, axis=1, keepdims=True)
+        fallback = jnp.where(
+            mask_sum > 0,
+            modality_mask / (mask_sum + 1e-8),
+            jnp.full_like(modality_mask, 1.0 / num_mod),
+        )
+        weights = jnp.where(
+            weight_sums > 0, weighted / (weight_sums + 1e-8), fallback
+        )
+        fused_logits = jnp.sum(stacked_logits * weights[..., None], axis=1)
+        return fused_logits, per_modality_logits
+
+
 class HybridFusion(nn.Module):
     """Cross-modal attention + adaptive gated weighting (the flagship head)."""
 
@@ -271,6 +351,7 @@ _FUSION_CLASSES = {
     "early": EarlyFusion,
     "late": LateFusion,
     "hybrid": HybridFusion,
+    "uncertainty": UncertaintyFusion,
 }
 
 

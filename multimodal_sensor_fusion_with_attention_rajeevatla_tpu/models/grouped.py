@@ -115,19 +115,27 @@ class GroupedRNNEncoder(nn.Module):
                 self.use_pallas
                 and self.cell_type == "gru"
                 and self.num_layers == 1
-                and not train
             ):
-                from ..ops.pallas_rnn import grouped_gru_fused
+                if train:
+                    # differentiable kernel pair (custom VJP): recurrence in
+                    # Pallas, W_ih/b_ih grads flow through the x_proj einsum
+                    from ..ops.pallas_rnn_train import grouped_gru_trainable
 
-                final_state = grouped_gru_fused(
-                    layer_input.transpose(2, 0, 1, 3),  # [G,B,T,D]->[T,G,B,D]
-                    w_ih,
-                    w_hh,
-                    b_ih,
-                    b_hh,  # GRU candidate bias stays on the hidden path
-                    lengths=lengths if lengths is not None else None,
-                    interpret=jax.default_backend() != "tpu",
-                )
+                    final_state = grouped_gru_trainable(
+                        x_proj.astype(jnp.float32), w_hh, b_hh, lengths
+                    )
+                else:
+                    from ..ops.pallas_rnn import grouped_gru_fused
+
+                    final_state = grouped_gru_fused(
+                        layer_input.transpose(2, 0, 1, 3),  # [G,B,T,D]->[T,G,B,D]
+                        w_ih,
+                        w_hh,
+                        b_ih,
+                        b_hh,  # GRU candidate bias stays on the hidden path
+                        lengths=lengths if lengths is not None else None,
+                        interpret=jax.default_backend() != "tpu",
+                    )
                 break
 
             if (

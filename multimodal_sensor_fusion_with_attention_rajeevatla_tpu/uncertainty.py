@@ -285,7 +285,7 @@ def mc_dropout_uncertainty_fusion(
     becomes its uncertainty, and :func:`uncertainty_weighted_fusion` combines
     the mean per-modality logits. Returns ``(fused_logits, fusion_weights)``.
     """
-    if getattr(model, "fusion_type", None) != "late":
+    if getattr(model, "fusion_type", None) not in ("late", "uncertainty"):
         raise ValueError(
             "mc_dropout_uncertainty_fusion requires a LateFusion model "
             "(per-modality heads provide the per-modality predictions)."

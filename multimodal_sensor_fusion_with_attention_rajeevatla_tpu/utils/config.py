@@ -239,12 +239,46 @@ def load_config(
     path: str | Path,
     overrides: Optional[List[str]] = None,
 ) -> ConfigNode:
-    """Load a YAML config file and apply dotted CLI overrides."""
+    """Load a YAML config file and apply dotted CLI overrides.
+
+    Preset files (e.g. ``config/fusion_strategies.yaml``) carry a
+    ``defaults: [base, ...]`` list plus named preset sections; the defaults
+    are loaded (relative to the file) and deep-merged first, and a
+    ``preset=<section>`` override selects a section to merge on top::
+
+        python src/train.py --config-name fusion_strategies preset=uncertainty_fusion
+    """
     path = Path(path)
     with path.open("r", encoding="utf-8") as handle:
         raw = _yaml_load(handle.read()) or {}
-    cfg = ConfigNode(raw)
-    for dotted, value in parse_overrides(overrides or []).items():
+    parsed = parse_overrides(overrides or [])
+    preset = parsed.pop("preset", None)
+
+    defaults = raw.pop("defaults", None)
+    if defaults:
+        cfg = ConfigNode({})
+        for name in defaults:
+            base_path = path.parent / (
+                name if str(name).endswith(".yaml") else f"{name}.yaml"
+            )
+            with base_path.open("r", encoding="utf-8") as handle:
+                cfg.merge(_yaml_load(handle.read()) or {})
+        if preset is not None:
+            if preset not in raw:
+                raise ValueError(
+                    f"Unknown preset '{preset}' in {path.name} "
+                    f"(available: {sorted(raw)})"
+                )
+            cfg.merge(raw[preset])
+    else:
+        if preset is not None:
+            raise ValueError(
+                f"preset={preset} given but {path.name} has no 'defaults:' "
+                "preset structure"
+            )
+        cfg = ConfigNode(raw)
+
+    for dotted, value in parsed.items():
         cfg.set_dotted(dotted, value)
     return cfg
 

@@ -85,3 +85,50 @@ def test_missing_key_raises():
         _ = cfg["zzz"]
     with pytest.raises(AttributeError):
         _ = cfg.zzz
+
+
+class TestPresetConfigs:
+    @pytest.fixture
+    def preset_dir(self, tmp_path):
+        (tmp_path / "base.yaml").write_text(
+            "model:\n  fusion_type: hybrid\n  hidden_dim: 256\n"
+            "dataset:\n  name: pamap2\n"
+        )
+        (tmp_path / "strategies.yaml").write_text(
+            "defaults:\n  - base\n\n"
+            "uncertainty_fusion:\n  model:\n    fusion_type: uncertainty\n"
+            "early_fusion:\n  model:\n    fusion_type: early\n"
+        )
+        return tmp_path
+
+    def test_defaults_only(self, preset_dir):
+        cfg = load_config(preset_dir / "strategies.yaml")
+        assert cfg.model.fusion_type == "hybrid"  # base wins without preset
+        assert cfg.model.hidden_dim == 256
+
+    def test_preset_merges_over_base(self, preset_dir):
+        cfg = load_config(
+            preset_dir / "strategies.yaml", ["preset=uncertainty_fusion"]
+        )
+        assert cfg.model.fusion_type == "uncertainty"
+        assert cfg.model.hidden_dim == 256  # untouched base key survives
+        assert cfg.dataset.name == "pamap2"
+
+    def test_unknown_preset_raises(self, preset_dir):
+        with pytest.raises(ValueError, match="Unknown preset 'bogus'"):
+            load_config(preset_dir / "strategies.yaml", ["preset=bogus"])
+
+    def test_preset_without_defaults_raises(self, cfg_file):
+        with pytest.raises(ValueError, match="no 'defaults:'"):
+            load_config(cfg_file, ["preset=anything"])
+
+    def test_repo_fusion_strategies_uncertainty(self):
+        from pathlib import Path
+
+        repo_cfg = Path(__file__).resolve().parent.parent / "config"
+        cfg = load_config(
+            repo_cfg / "fusion_strategies.yaml", ["preset=uncertainty_fusion"]
+        )
+        assert cfg.model.fusion_type == "uncertainty"
+        assert cfg.uncertainty.num_mc_samples == 10
+        assert "uncertainty" in cfg.experiment.name

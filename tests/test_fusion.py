@@ -9,6 +9,7 @@ from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.models.fusion import
     EarlyFusion,
     HybridFusion,
     LateFusion,
+    UncertaintyFusion,
     build_fusion_model,
 )
 
@@ -38,6 +39,12 @@ class TestBuildFusionModel:
     def test_unknown_type(self):
         with pytest.raises(ValueError, match="Unknown fusion type: bogus"):
             build_fusion_model("bogus", DIMS, C)
+
+    def test_uncertainty_type_routed(self):
+        """fusion_type: uncertainty is a real, buildable head (the reference
+        declares it in config/base.yaml:27 but its factory rejects it)."""
+        model = build_fusion_model("uncertainty", DIMS, C, num_heads=8, hidden_dim=H)
+        assert isinstance(model, UncertaintyFusion)
 
     def test_num_heads_stripped_for_non_hybrid(self):
         model = build_fusion_model("early", DIMS, C, num_heads=8, hidden_dim=H)
@@ -83,6 +90,81 @@ class TestEarlyFusion:
         model = EarlyFusion(modality_names=(), hidden_dim=H, num_classes=C)
         with pytest.raises(ValueError, match="No modalities configured for EarlyFusion."):
             model.init(rng, {})
+
+
+class TestUncertaintyFusion:
+    def test_returns_tuple(self, rng):
+        model = UncertaintyFusion(
+            modality_names=tuple(DIMS), hidden_dim=H, num_classes=C
+        )
+        feats = _feats()
+        variables = model.init(rng, feats)
+        fused, per_mod = model.apply(variables, feats)
+        assert fused.shape == (B, C)
+        assert set(per_mod.keys()) == set(DIMS)
+        assert all(v.shape == (B, C) for v in per_mod.values())
+
+    def test_weights_are_inverse_variance(self, rng):
+        """Fused logits are a convex combination of per-modality logits with
+        weights proportional to mask * exp(-log_var)."""
+        model = UncertaintyFusion(
+            modality_names=tuple(DIMS), hidden_dim=H, num_classes=C
+        )
+        feats = _feats()
+        variables = model.init(rng, feats)
+        mask = jnp.asarray([[1.0, 1.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+        fused, per_mod = model.apply(variables, feats, mask)
+        stacked = np.stack([np.asarray(per_mod[m]) for m in DIMS], axis=1)
+        fused = np.asarray(fused)
+        # each fused row lies in the convex hull of its unmasked logits
+        for b in range(B):
+            active = np.asarray(mask)[b] > 0
+            lo = stacked[b][active].min(axis=0) - 1e-5
+            hi = stacked[b][active].max(axis=0) + 1e-5
+            assert ((fused[b] >= lo) & (fused[b] <= hi)).all()
+        # single-modality rows equal that modality's logits exactly
+        np.testing.assert_allclose(fused[1], stacked[1, 0], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(fused[2], stacked[2, 1], rtol=1e-5, atol=1e-6)
+
+    def test_all_masked_falls_back_uniform(self, rng):
+        model = UncertaintyFusion(
+            modality_names=tuple(DIMS), hidden_dim=H, num_classes=C
+        )
+        feats = _feats()
+        variables = model.init(rng, feats)
+        mask = jnp.zeros((B, 2))
+        fused, _ = model.apply(variables, feats, mask)
+        zero_feats = {m: jnp.zeros_like(v) for m, v in feats.items()}
+        _, per_mod_zero = model.apply(variables, zero_feats, mask)
+        expected = (per_mod_zero["video"] + per_mod_zero["imu"]) / 2.0
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(expected), rtol=1e-5, atol=1e-6
+        )
+
+    def test_missing_modality_error(self, rng):
+        model = UncertaintyFusion(
+            modality_names=tuple(DIMS), hidden_dim=H, num_classes=C
+        )
+        feats = _feats()
+        variables = model.init(rng, feats)
+        with pytest.raises(KeyError, match="Missing features for modality 'video'"):
+            model.apply(variables, {"imu": feats["imu"]})
+
+    def test_gradients_flow_to_uncertainty_heads(self, rng):
+        model = UncertaintyFusion(
+            modality_names=tuple(DIMS), hidden_dim=H, num_classes=C
+        )
+        feats = _feats()
+        variables = model.init(rng, feats)
+
+        def loss(params):
+            fused, _ = model.apply({"params": params}, feats)
+            return jnp.sum(fused**2)
+
+        grads = jax.grad(loss)(variables["params"])
+        for m in DIMS:
+            g = grads[f"unc_{m}_head"]["kernel"]
+            assert float(jnp.abs(g).max()) > 0
 
 
 class TestLateFusion:

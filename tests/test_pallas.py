@@ -359,6 +359,105 @@ def test_transformer_encoder_flash_training_gradients_match_xla():
         np.testing.assert_allclose(np.asarray(f), np.asarray(p), rtol=5e-4, atol=5e-5)
 
 
+class TestTrainableGRUKernel:
+    @staticmethod
+    def _scan_oracle(x_proj, w_hh, b_hh, lengths):
+        G, B, H = w_hh.shape[0], x_proj.shape[2], w_hh.shape[1]
+
+        def step(h, xs):
+            xp, t = xs
+            hp = jnp.einsum("gbh,ghk->gbk", h, w_hh) + b_hh[:, None, :]
+            xr, xz, xn = jnp.split(xp, 3, axis=-1)
+            hr, hz, hn = jnp.split(hp, 3, axis=-1)
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)
+            h_new = (1 - z) * n + z * h
+            keep = (t < lengths).astype(jnp.float32)[None, :, None]
+            return keep * h_new + (1 - keep) * h, None
+
+        h, _ = jax.lax.scan(
+            step, jnp.zeros((G, B, H)), (x_proj, jnp.arange(x_proj.shape[0]))
+        )
+        return h
+
+    def test_forward_matches_scan(self):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_rnn_train import (
+            grouped_gru_trainable,
+        )
+
+        G, B, T, H = 2, 8, 24, 16
+        rng = np.random.default_rng(1)
+        x_proj = jnp.asarray(rng.standard_normal((T, G, B, 3 * H)) * 0.3, jnp.float32)
+        w_hh = jnp.asarray(rng.standard_normal((G, H, 3 * H)) * 0.1, jnp.float32)
+        b_hh = jnp.asarray(rng.standard_normal((G, 3 * H)) * 0.1, jnp.float32)
+        lengths = jnp.asarray([24, 13, 1, 24, 7, 24, 24, 18], jnp.int32)
+        got = grouped_gru_trainable(x_proj, w_hh, b_hh, lengths)
+        want = self._scan_oracle(x_proj, w_hh, b_hh, lengths)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
+
+    def test_gradients_match_scan(self):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_rnn_train import (
+            grouped_gru_trainable,
+        )
+
+        G, B, T, H = 2, 8, 24, 16
+        rng = np.random.default_rng(2)
+        x_proj = jnp.asarray(rng.standard_normal((T, G, B, 3 * H)) * 0.3, jnp.float32)
+        w_hh = jnp.asarray(rng.standard_normal((G, H, 3 * H)) * 0.1, jnp.float32)
+        b_hh = jnp.asarray(rng.standard_normal((G, 3 * H)) * 0.1, jnp.float32)
+        lengths = jnp.asarray([24, 13, 1, 24, 7, 24, 24, 18], jnp.int32)
+        cot = jnp.asarray(rng.standard_normal((G, B, H)), jnp.float32)
+
+        def loss_pallas(xp, w, b):
+            return jnp.sum(grouped_gru_trainable(xp, w, b, lengths) * cot)
+
+        def loss_ref(xp, w, b):
+            return jnp.sum(self._scan_oracle(xp, w, b, lengths) * cot)
+
+        got = jax.grad(loss_pallas, argnums=(0, 1, 2))(x_proj, w_hh, b_hh)
+        want = jax.grad(loss_ref, argnums=(0, 1, 2))(x_proj, w_hh, b_hh)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+            )
+
+    def test_grouped_encoder_gru_training_gradients(self, rng):
+        """GroupedRNNEncoder(train=True, use_pallas) == XLA-scan gradients."""
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.models.grouped import (
+            GroupedRNNEncoder,
+        )
+
+        x = jnp.asarray(
+            np.random.default_rng(5).standard_normal((2, 4, 12, 6)), jnp.float32
+        )
+        lengths = jnp.asarray([12, 5, 12, 9], jnp.int32)
+        plain = GroupedRNNEncoder(
+            num_groups=2, hidden_dim=16, output_dim=8, num_layers=1,
+            cell_type="gru", dropout=0.0, use_pallas=False,
+        )
+        pallas = GroupedRNNEncoder(
+            num_groups=2, hidden_dim=16, output_dim=8, num_layers=1,
+            cell_type="gru", dropout=0.0, use_pallas=True,
+        )
+        variables = plain.init(rng, x, lengths)
+
+        def loss(params, model):
+            out = model.apply(
+                {"params": params}, x, lengths, train=True, rngs={"dropout": rng}
+            )
+            return jnp.sum(out**2)
+
+        g_plain = jax.grad(loss)(variables["params"], plain)
+        g_pallas = jax.grad(loss)(variables["params"], pallas)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_pallas), jax.tree_util.tree_leaves(g_plain)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-6
+            )
+
+
 class TestTrainableLSTMKernel:
     @staticmethod
     def _scan_oracle(x_proj, w_hh, b_hh, lengths):
