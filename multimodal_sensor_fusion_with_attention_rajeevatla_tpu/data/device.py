@@ -70,10 +70,11 @@ class StreamingDeviceLoader:
 
     def _put(self, batch):
         def put(x):
-            arr = jnp.asarray(x)
+            # host numpy straight onto the target sharding (never allocate on
+            # the default backend first — see device_put_split)
             if self.sharding is not None:
-                arr = jax.device_put(arr, self.sharding)
-            return arr
+                return jax.device_put(np.asarray(x), self.sharding)
+            return jnp.asarray(x)
 
         features, labels, mask, lengths, weight = batch
         return (

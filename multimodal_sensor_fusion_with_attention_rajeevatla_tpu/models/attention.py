@@ -18,7 +18,7 @@ Capability parity with the reference (``src/attention.py:16-485``):
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Mapping, Optional, Sequence, Tuple
+from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +39,7 @@ class CrossModalAttention(nn.Module):
     hidden_dim: int = 256
     num_heads: int = 4
     dropout: float = 0.1
+    dtype: Optional[Any] = None  # bf16 under mixed_precision (params stay f32)
 
     @nn.compact
     def __call__(
@@ -65,9 +66,9 @@ class CrossModalAttention(nn.Module):
             value = value[:, None, :]
 
         q_len, k_len = query.shape[1], key.shape[1]
-        q = nn.Dense(self.hidden_dim, name="query_proj")(query)
-        k = nn.Dense(self.hidden_dim, name="key_proj")(key)
-        v = nn.Dense(self.hidden_dim, name="value_proj")(value)
+        q = nn.Dense(self.hidden_dim, name="query_proj", dtype=self.dtype)(query)
+        k = nn.Dense(self.hidden_dim, name="key_proj", dtype=self.dtype)(key)
+        v = nn.Dense(self.hidden_dim, name="value_proj", dtype=self.dtype)(value)
 
         q = q.reshape(batch, q_len, self.num_heads, head_dim)
         k = k.reshape(batch, k_len, self.num_heads, head_dim)
@@ -83,7 +84,7 @@ class CrossModalAttention(nn.Module):
 
         attended = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
         attended = attended.reshape(batch, q_len, self.hidden_dim)
-        attended = nn.Dense(self.hidden_dim, name="out_proj")(attended)
+        attended = nn.Dense(self.hidden_dim, name="out_proj", dtype=self.dtype)(attended)
 
         if squeeze_query:
             attended = attended[:, 0, :]
@@ -98,6 +99,7 @@ class TemporalAttention(nn.Module):
     hidden_dim: int = 256
     num_heads: int = 4
     dropout: float = 0.1
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(
@@ -109,9 +111,9 @@ class TemporalAttention(nn.Module):
         head_dim = self.hidden_dim // self.num_heads
         batch, seq_len, _ = sequence.shape
 
-        q = nn.Dense(self.hidden_dim, name="query_proj")(sequence)
-        k = nn.Dense(self.hidden_dim, name="key_proj")(sequence)
-        v = nn.Dense(self.hidden_dim, name="value_proj")(sequence)
+        q = nn.Dense(self.hidden_dim, name="query_proj", dtype=self.dtype)(sequence)
+        k = nn.Dense(self.hidden_dim, name="key_proj", dtype=self.dtype)(sequence)
+        v = nn.Dense(self.hidden_dim, name="value_proj", dtype=self.dtype)(sequence)
         q = q.reshape(batch, seq_len, self.num_heads, head_dim)
         k = k.reshape(batch, seq_len, self.num_heads, head_dim)
         v = v.reshape(batch, seq_len, self.num_heads, head_dim)
@@ -127,7 +129,7 @@ class TemporalAttention(nn.Module):
 
         attended = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
         attended = attended.reshape(batch, seq_len, self.hidden_dim)
-        attended = nn.Dense(self.hidden_dim, name="out_proj")(attended)
+        attended = nn.Dense(self.hidden_dim, name="out_proj", dtype=self.dtype)(attended)
         if mask is not None:
             attended = attended * mask[..., None].astype(attended.dtype)
         return attended, weights
@@ -166,6 +168,7 @@ class StackedPairAttention(nn.Module):
     hidden_dim: int = 256
     num_heads: int = 4
     dropout: float = 0.1
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(
@@ -196,6 +199,8 @@ class StackedPairAttention(nn.Module):
                 (num_pairs, self.hidden_dim, self.hidden_dim),
             )
             b = self.param(f"{name}_bias", nn.initializers.zeros, (num_pairs, self.hidden_dim))
+            if self.dtype is not None:  # params stored f32, computed in dtype
+                w, b = w.astype(self.dtype), b.astype(self.dtype)
             return w, b
 
         wq, bq = pair_param("query")
@@ -203,6 +208,8 @@ class StackedPairAttention(nn.Module):
         wv, bv = pair_param("value")
         wo, bo = pair_param("out")
 
+        if self.dtype is not None:
+            stacked = stacked.astype(self.dtype)
         q_in = jnp.take(stacked, q_idx, axis=0)  # [P, B, H]
         k_in = jnp.take(stacked, k_idx, axis=0)  # [P, B, H]
 
@@ -240,6 +247,7 @@ class PairwiseModalityAttention(nn.Module):
     hidden_dim: int = 256
     num_heads: int = 4
     dropout: float = 0.1
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(
@@ -260,7 +268,9 @@ class PairwiseModalityAttention(nn.Module):
         drop = nn.Dropout(self.dropout, deterministic=not train)
         projected = []
         for name in names:
-            x = nn.Dense(self.hidden_dim, name=f"proj_{name}")(modality_features[name])
+            x = nn.Dense(self.hidden_dim, name=f"proj_{name}", dtype=self.dtype)(
+                modality_features[name]
+            )
             projected.append(drop(nn.relu(x)))
         stacked = jnp.stack(projected, axis=0)  # [M, B, H]
 
@@ -269,6 +279,7 @@ class PairwiseModalityAttention(nn.Module):
             hidden_dim=self.hidden_dim,
             num_heads=self.num_heads,
             dropout=self.dropout,
+            dtype=self.dtype,
             name="pairs",
         )(stacked, modality_mask, train=train)
 

@@ -151,6 +151,9 @@ class _TransformerEncoderLayer(nn.Module):
     num_heads: int
     dim_feedforward: int = 2048
     dropout: float = 0.1
+    # computation dtype (bf16 under mixed_precision; params stay f32 and
+    # softmax/LayerNorm statistics accumulate in f32)
+    dtype: Optional[Any] = None
     # flash (tiled online-softmax Pallas) attention, forward AND backward
     # (custom VJP): the O(T^2) score tensor never materialises in training or
     # inference (ops/pallas_attention.py). Attention-prob dropout is skipped
@@ -168,7 +171,7 @@ class _TransformerEncoderLayer(nn.Module):
         batch, seq_len, _ = x.shape
 
         def proj(name):
-            return nn.Dense(self.hidden_dim, name=name)
+            return nn.Dense(self.hidden_dim, name=name, dtype=self.dtype)
 
         q = proj("q_proj")(x).reshape(batch, seq_len, self.num_heads, head_dim)
         k = proj("k_proj")(x).reshape(batch, seq_len, self.num_heads, head_dim)
@@ -205,15 +208,15 @@ class _TransformerEncoderLayer(nn.Module):
             attended = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(
                 batch, seq_len, self.hidden_dim
             )
-        attended = nn.Dense(self.hidden_dim, name="out_proj")(attended)
-        x = nn.LayerNorm(name="norm1")(
+        attended = nn.Dense(self.hidden_dim, name="out_proj", dtype=self.dtype)(attended)
+        x = nn.LayerNorm(name="norm1", dtype=self.dtype)(
             x + nn.Dropout(self.dropout, deterministic=not train)(attended)
         )
-        ff = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        ff = nn.Dense(self.dim_feedforward, name="linear1", dtype=self.dtype)(x)
         ff = nn.relu(ff)
         ff = nn.Dropout(self.dropout, deterministic=not train)(ff)
-        ff = nn.Dense(self.hidden_dim, name="linear2")(ff)
-        x = nn.LayerNorm(name="norm2")(
+        ff = nn.Dense(self.hidden_dim, name="linear2", dtype=self.dtype)(ff)
+        x = nn.LayerNorm(name="norm2", dtype=self.dtype)(
             x + nn.Dropout(self.dropout, deterministic=not train)(ff)
         )
         return x
@@ -232,6 +235,10 @@ class SequenceEncoder(nn.Module):
     encoder_type: str = "lstm"
     dropout: float = 0.1
     flash_attention: bool = False  # Pallas flash attention (transformer path)
+    # bf16 computation under mixed_precision (cnn/transformer paths; the RNN
+    # recurrence keeps f32 carries — the grouped encoder has its own
+    # mixed_precision recurrence flag)
+    dtype: Optional[Any] = None
 
     def _check(self):
         if self.encoder_type not in ("lstm", "gru", "cnn", "transformer"):
@@ -266,21 +273,27 @@ class SequenceEncoder(nn.Module):
             x = sequence
             for idx in range(2):
                 x = nn.Conv(
-                    self.hidden_dim, kernel_size=(3,), padding="SAME", name=f"conv{idx}"
+                    self.hidden_dim, kernel_size=(3,), padding="SAME",
+                    name=f"conv{idx}", dtype=self.dtype,
                 )(x)
                 x = nn.BatchNorm(
                     use_running_average=not train,
                     momentum=0.9,
                     epsilon=1e-5,
                     name=f"bn{idx}",
+                    dtype=self.dtype,
                 )(x)
                 x = nn.relu(x)
             mask = lengths_to_mask(lengths, seq_len) if lengths is not None else None
             pooled = masked_mean_pool(x, mask, axis=1, min_denom=1.0)
-            return nn.Dense(self.output_dim, name="projection")(drop(pooled))
+            return nn.Dense(self.output_dim, name="projection", dtype=self.dtype)(
+                drop(pooled)
+            )
 
         # transformer
-        x = nn.Dense(self.hidden_dim, name="input_projection")(sequence)
+        x = nn.Dense(self.hidden_dim, name="input_projection", dtype=self.dtype)(
+            sequence
+        )
         nhead = 4 if self.hidden_dim % 4 == 0 else 1
         valid_mask = (
             lengths_to_mask(lengths, seq_len) if lengths is not None else None
@@ -291,10 +304,13 @@ class SequenceEncoder(nn.Module):
                 num_heads=nhead,
                 dropout=self.dropout,
                 use_flash=self.flash_attention,
+                dtype=self.dtype,
                 name=f"layer{idx}",
             )(x, key_padding_mask=valid_mask, train=train)
         pooled = masked_mean_pool(x, valid_mask, axis=1, min_denom=1.0)
-        return nn.Dense(self.output_dim, name="projection")(drop(pooled))
+        return nn.Dense(self.output_dim, name="projection", dtype=self.dtype)(
+            drop(pooled)
+        )
 
 
 class FrameEncoder(nn.Module):
@@ -309,6 +325,7 @@ class FrameEncoder(nn.Module):
     output_dim: int = 128
     temporal_pooling: str = "attention"
     dropout: float = 0.1
+    dtype: Optional[Any] = None
 
     def _check(self):
         if self.temporal_pooling not in ("attention", "average", "max"):
@@ -326,12 +343,18 @@ class FrameEncoder(nn.Module):
             raise ValueError(f"Expected 3D frame tensor, got shape {frames.shape}")
 
         drop = nn.Dropout(self.dropout, deterministic=not train)
-        processed = drop(nn.relu(nn.Dense(self.hidden_dim, name="frame_processor")(frames)))
+        processed = drop(
+            nn.relu(
+                nn.Dense(self.hidden_dim, name="frame_processor", dtype=self.dtype)(
+                    frames
+                )
+            )
+        )
         if mask is not None:
             mask = mask.astype(processed.dtype)
 
         if self.temporal_pooling == "attention":
-            scores = nn.Dense(1, name="attention")(processed)  # [B, T, 1]
+            scores = nn.Dense(1, name="attention", dtype=self.dtype)(processed)  # [B, T, 1]
             score_mask = mask[..., None] if mask is not None else None
             weights = masked_softmax(scores, score_mask, axis=1)
             pooled = jnp.sum(weights * processed, axis=1)
@@ -344,8 +367,12 @@ class FrameEncoder(nn.Module):
                 neg = jnp.where(mask[..., None] == 0, -jnp.inf, processed)
                 pooled = nan_to_num(jnp.max(neg, axis=1))
 
-        x = drop(nn.relu(nn.Dense(self.hidden_dim, name="proj_hidden")(pooled)))
-        return nn.Dense(self.output_dim, name="proj_out")(x)
+        x = drop(
+            nn.relu(
+                nn.Dense(self.hidden_dim, name="proj_hidden", dtype=self.dtype)(pooled)
+            )
+        )
+        return nn.Dense(self.output_dim, name="proj_out", dtype=self.dtype)(x)
 
 
 class SimpleMLPEncoder(nn.Module):
@@ -356,6 +383,7 @@ class SimpleMLPEncoder(nn.Module):
     num_layers: int = 2
     dropout: float = 0.1
     batch_norm: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, features: jax.Array, train: bool = False) -> jax.Array:
@@ -365,17 +393,18 @@ class SimpleMLPEncoder(nn.Module):
             )
         x = features
         for idx in range(self.num_layers):
-            x = nn.Dense(self.hidden_dim, name=f"dense{idx}")(x)
+            x = nn.Dense(self.hidden_dim, name=f"dense{idx}", dtype=self.dtype)(x)
             if self.batch_norm:
                 x = nn.BatchNorm(
                     use_running_average=not train,
                     momentum=0.9,
                     epsilon=1e-5,
                     name=f"bn{idx}",
+                    dtype=self.dtype,
                 )(x)
             x = nn.relu(x)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return nn.Dense(self.output_dim, name="out")(x)
+        return nn.Dense(self.output_dim, name="out", dtype=self.dtype)(x)
 
 
 _SEQUENCE_MODALITIES = {"imu", "audio", "mocap", "accelerometer"}
@@ -398,18 +427,18 @@ def build_encoder(
     del input_dim
 
     def make_frame():
-        allowed = {"hidden_dim", "temporal_pooling", "dropout"}
+        allowed = {"hidden_dim", "temporal_pooling", "dropout", "dtype"}
         return FrameEncoder(output_dim=output_dim, **{k: v for k, v in config.items() if k in allowed})
 
     def make_sequence():
         allowed = {"hidden_dim", "num_layers", "encoder_type", "dropout",
-                   "flash_attention"}
+                   "flash_attention", "dtype"}
         enc = SequenceEncoder(output_dim=output_dim, **{k: v for k, v in config.items() if k in allowed})
         enc._check()
         return enc
 
     def make_mlp():
-        allowed = {"hidden_dim", "num_layers", "dropout", "batch_norm"}
+        allowed = {"hidden_dim", "num_layers", "dropout", "batch_norm", "dtype"}
         return SimpleMLPEncoder(output_dim=output_dim, **{k: v for k, v in config.items() if k in allowed})
 
     if override_type == "frame":

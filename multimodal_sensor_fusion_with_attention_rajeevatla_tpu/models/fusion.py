@@ -20,7 +20,7 @@ bit-for-bit in structure because the reference's tests assert exact values.
 
 from __future__ import annotations
 
-from typing import Dict, Mapping, Optional, Sequence, Tuple
+from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +41,7 @@ class EarlyFusion(nn.Module):
     hidden_dim: int = 256
     num_classes: int = 11
     dropout: float = 0.1
+    dtype: Optional[Any] = None  # bf16 under mixed_precision (params stay f32)
 
     @nn.compact
     def __call__(
@@ -78,9 +79,9 @@ class EarlyFusion(nn.Module):
 
         x = jnp.concatenate(fused_inputs, axis=1)
         drop = nn.Dropout(self.dropout, deterministic=not train)
-        x = drop(nn.relu(nn.Dense(self.hidden_dim, name="fc0")(x)))
-        x = drop(nn.relu(nn.Dense(self.hidden_dim, name="fc1")(x)))
-        return nn.Dense(self.num_classes, name="head")(x)
+        x = drop(nn.relu(nn.Dense(self.hidden_dim, name="fc0", dtype=self.dtype)(x)))
+        x = drop(nn.relu(nn.Dense(self.hidden_dim, name="fc1", dtype=self.dtype)(x)))
+        return nn.Dense(self.num_classes, name="head", dtype=self.dtype)(x)
 
 
 class LateFusion(nn.Module):
@@ -90,6 +91,7 @@ class LateFusion(nn.Module):
     hidden_dim: int = 256
     num_classes: int = 11
     dropout: float = 0.1
+    dtype: Optional[Any] = None  # bf16 under mixed_precision (params stay f32)
 
     @nn.compact
     def __call__(
@@ -122,8 +124,14 @@ class LateFusion(nn.Module):
                     f"Missing features for modality '{name}' in LateFusion forward pass."
                 )
             masked = modality_features[name] * modality_mask[:, idx : idx + 1]
-            h = nn.relu(nn.Dense(self.hidden_dim, name=f"cls_{name}_fc")(drop(masked)))
-            logits = nn.Dense(self.num_classes, name=f"cls_{name}_head")(drop(h))
+            h = nn.relu(
+                nn.Dense(self.hidden_dim, name=f"cls_{name}_fc", dtype=self.dtype)(
+                    drop(masked)
+                )
+            )
+            logits = nn.Dense(
+                self.num_classes, name=f"cls_{name}_head", dtype=self.dtype
+            )(drop(h))
             per_modality_logits[name] = logits
             stack.append(logits)
 
@@ -157,6 +165,7 @@ class UncertaintyFusion(nn.Module):
     hidden_dim: int = 256
     num_classes: int = 11
     dropout: float = 0.1
+    dtype: Optional[Any] = None  # bf16 under mixed_precision (params stay f32)
 
     @nn.compact
     def __call__(
@@ -190,12 +199,18 @@ class UncertaintyFusion(nn.Module):
                     f"Missing features for modality '{name}' in UncertaintyFusion forward pass."
                 )
             masked = modality_features[name] * modality_mask[:, idx : idx + 1]
-            h = nn.relu(nn.Dense(self.hidden_dim, name=f"cls_{name}_fc")(drop(masked)))
-            logits = nn.Dense(self.num_classes, name=f"cls_{name}_head")(drop(h))
+            h = nn.relu(
+                nn.Dense(self.hidden_dim, name=f"cls_{name}_fc", dtype=self.dtype)(
+                    drop(masked)
+                )
+            )
+            logits = nn.Dense(
+                self.num_classes, name=f"cls_{name}_head", dtype=self.dtype
+            )(drop(h))
             # bounded log-variance keeps exp(-log_var) finite and the
             # weighting well-conditioned early in training
             log_var = jnp.clip(
-                nn.Dense(1, name=f"unc_{name}_head")(h)[:, 0], -6.0, 6.0
+                nn.Dense(1, name=f"unc_{name}_head", dtype=self.dtype)(h)[:, 0], -6.0, 6.0
             )
             per_modality_logits[name] = logits
             stack.append(logits)
@@ -226,23 +241,32 @@ class HybridFusion(nn.Module):
     num_classes: int = 11
     num_heads: int = 4
     dropout: float = 0.1
+    dtype: Optional[Any] = None
 
     def setup(self):
         names = list(self.modality_names)
         self._names = names
         self.projections = {
-            name: nn.Dense(self.hidden_dim, name=f"proj_{name}") for name in names
+            name: nn.Dense(self.hidden_dim, name=f"proj_{name}", dtype=self.dtype)
+            for name in names
         }
         self.pair_attention = StackedPairAttention(
             num_modalities=len(names),
             hidden_dim=self.hidden_dim,
             num_heads=self.num_heads,
             dropout=self.dropout,
+            dtype=self.dtype,
             name="pairs",
         )
-        self.gates = {name: nn.Dense(1, name=f"gate_{name}") for name in names}
-        self.classifier_hidden = nn.Dense(self.hidden_dim, name="classifier_hidden")
-        self.classifier_out = nn.Dense(self.num_classes, name="classifier_out")
+        self.gates = {
+            name: nn.Dense(1, name=f"gate_{name}", dtype=self.dtype) for name in names
+        }
+        self.classifier_hidden = nn.Dense(
+            self.hidden_dim, name="classifier_hidden", dtype=self.dtype
+        )
+        self.classifier_out = nn.Dense(
+            self.num_classes, name="classifier_out", dtype=self.dtype
+        )
         self.drop = nn.Dropout(self.dropout)
 
     def __call__(

@@ -53,11 +53,22 @@ class MultimodalFusionModel(nn.Module):
     dropout: float = 0.1
     layer_norm: bool = True
     grouped_encoders: bool = True
-    pallas_rnn: bool = False  # Pallas recurrence kernel on inference calls
-    mixed_precision: bool = False  # bf16 matmuls in the grouped recurrence
+    pallas_rnn: bool = False  # Pallas recurrence kernels (fwd + custom-VJP bwd)
+    # End-to-end bf16 computation: encoder/attention/fusion matmuls run in
+    # bf16 (params stored f32, softmax/LayerNorm statistics and the final
+    # logits in f32); the grouped RNN recurrence additionally switches its
+    # scan matmuls to bf16. False = full f32.
+    mixed_precision: bool = False
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.mixed_precision else None
 
     def setup(self):
         configs = {k: dict(v) for k, v in dict(self.encoder_configs).items()}
+        if self.mixed_precision:
+            for cfg in configs.values():
+                cfg.setdefault("dtype", jnp.bfloat16)
         self._grouped_names = []
         if self.grouped_encoders:
             names, shared = groupable_modalities(self.modalities, configs)
@@ -96,6 +107,7 @@ class MultimodalFusionModel(nn.Module):
             hidden_dim=self.hidden_dim,
             num_heads=self.num_heads,
             dropout=self.dropout,
+            dtype=self.compute_dtype,
         )
 
     @staticmethod
@@ -207,6 +219,9 @@ class MultimodalFusionModel(nn.Module):
             logits, aux = output[0], (output[1] if len(output) > 1 else None)
         else:
             logits, aux = output, None
+        if self.mixed_precision:
+            # losses/softmax/metrics always see f32 logits
+            logits = logits.astype(jnp.float32)
         if return_attention:
             return logits, aux
         return logits

@@ -37,6 +37,11 @@ def masked_softmax(
     excluded. A row whose keys are all masked yields all-zero weights (the
     reference's softmax(-inf) -> NaN -> nan_to_num(0) path).
     """
+    out_dtype = scores.dtype
+    # softmax accumulates in float32 regardless of the (possibly bf16)
+    # activation dtype — a no-op for f32 inputs, a precision guard under
+    # mixed_precision
+    scores = scores.astype(jnp.float32)
     if mask is not None:
         scores = jnp.where(mask == 0, NEG_INF, scores)
     # Max-subtracted softmax; guard the all--inf row explicitly instead of
@@ -47,7 +52,8 @@ def masked_softmax(
     unnorm = jnp.exp(scores - safe_max)
     unnorm = jnp.where(jnp.isfinite(scores), unnorm, 0.0)
     denom = jnp.sum(unnorm, axis=axis, keepdims=True)
-    return jnp.where(denom > 0, unnorm / jnp.where(denom > 0, denom, 1.0), 0.0)
+    out = jnp.where(denom > 0, unnorm / jnp.where(denom > 0, denom, 1.0), 0.0)
+    return out.astype(out_dtype)
 
 
 def masked_mean_pool(

@@ -142,6 +142,11 @@ class Trainer:
         self.temporal_jitter = float(augmentation.get("temporal_jitter", 0.0))
         self.batch_size = int(config.dataset.get("batch_size", 32))
         self.seed = int(config.get("seed", 42))
+        # dataset.streaming: true = do NOT keep the windowed split in HBM;
+        # stream double-buffered host batches through StreamingDeviceLoader
+        # and train with a per-batch jitted step. For datasets that outgrow
+        # device memory; the default (false) whole-epoch scan is faster.
+        self.streaming = bool(config.dataset.get("streaming", False))
         self._has_batch_stats = False
         # SPMD data parallelism over a jax.sharding.Mesh (SURVEY §5/§7.5 —
         # the TPU-native replacement for the reference's CI-matrix scale-out):
@@ -355,6 +360,60 @@ class Trainer:
 
         return jax.jit(epoch_fn, donate_argnums=(0,))
 
+    def make_train_step_fn(self):
+        """Jitted per-batch step for the streaming (HBM-exceeding) path.
+
+        Same augmentation + update semantics as the whole-epoch scan body;
+        the loader's modality mask is combined with in-jit modality dropout.
+        """
+
+        def step_fn(state: TrainState, features, labels, mask, lengths, weight):
+            num_mod = mask.shape[1]
+            step_rng = jax.random.fold_in(state.rng, state.step)
+            drop_rng, noise_rng, jitter_rng, apply_rng = jax.random.split(step_rng, 4)
+            if self.temporal_jitter > 0:
+                features, lengths = self._apply_temporal_jitter(
+                    jitter_rng, features, lengths
+                )
+            if self.gaussian_noise > 0:
+                features = {
+                    m: v
+                    + self.gaussian_noise
+                    * jax.random.normal(
+                        jax.random.fold_in(noise_rng, i), v.shape, v.dtype
+                    )
+                    for i, (m, v) in enumerate(features.items())
+                }
+            mask = mask * self._dropout_modality_mask(
+                drop_rng, mask.shape[0], num_mod
+            )
+            return self._loss_and_updates(
+                state, features, labels, mask, lengths, weight, apply_rng
+            )
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def _streaming_epoch(self, step_fn, state, train_windows, eff_batch, epoch):
+        """One epoch over double-buffered host->device batches."""
+        from ..data.device import StreamingDeviceLoader
+
+        loader = BatchLoader(
+            train_windows, eff_batch, shuffle=True, seed=self.seed
+        )
+        loader.set_epoch(epoch)
+        stream = StreamingDeviceLoader(loader, sharding=self._batch_sharding())
+        losses, accs = [], []
+        for features, labels, mask, lengths, weight in stream:
+            state, loss, acc = step_fn(state, features, labels, mask, lengths, weight)
+            losses.append(loss)
+            accs.append(acc)
+        return state, float(jnp.mean(jnp.stack(losses))), float(jnp.mean(jnp.stack(accs)))
+
+    def _batch_sharding(self) -> Optional[NamedSharding]:
+        if self.mesh is None:
+            return None
+        return NamedSharding(self.mesh, P("data"))
+
     def make_eval_fn(self):
         """Build ``eval_fn(variables, data, idx [S,B]) -> logits [S,B,C]``."""
 
@@ -454,7 +513,8 @@ class Trainer:
             )
         eff_batch = self._effective_batch()
 
-        train_data = self._put_split(train_windows)
+        # streaming mode never materialises the train split in HBM
+        train_data = None if self.streaming else self._put_split(train_windows)
         val_data = self._put_split(val_windows)
         steps_per_epoch = (
             train_windows.num_windows + eff_batch - 1
@@ -475,7 +535,8 @@ class Trainer:
                 log_fn(f"resumed from {resume_from} at epoch {start_epoch}")
         if mesh is not None:
             state = jax.device_put(state, replicated_sharding(mesh))
-        epoch_fn = self.make_train_epoch_fn()
+        epoch_fn = None if self.streaming else self.make_train_epoch_fn()
+        step_fn = self.make_train_step_fn() if self.streaming else None
 
         ckpt = CheckpointManager(
             save_dir / "checkpoints",
@@ -496,15 +557,20 @@ class Trainer:
         history = []
         t_start = time.perf_counter()
         for epoch in range(start_epoch, max_epochs):
-            idx_mat, weight_mat = self._index_matrix(
-                train_windows.num_windows, eff_batch, True, self.seed + epoch
-            )
-            state, train_loss, train_acc = epoch_fn(
-                state,
-                train_data,
-                self._put_step_matrix(idx_mat, np.int32),
-                self._put_step_matrix(weight_mat, np.float32),
-            )
+            if self.streaming:
+                state, train_loss, train_acc = self._streaming_epoch(
+                    step_fn, state, train_windows, eff_batch, epoch
+                )
+            else:
+                idx_mat, weight_mat = self._index_matrix(
+                    train_windows.num_windows, eff_batch, True, self.seed + epoch
+                )
+                state, train_loss, train_acc = epoch_fn(
+                    state,
+                    train_data,
+                    self._put_step_matrix(idx_mat, np.int32),
+                    self._put_step_matrix(weight_mat, np.float32),
+                )
 
             val_logits = self.evaluate_logits(self.variables(state), val_data)
             val_labels = np.asarray(val_windows.labels)

