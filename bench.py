@@ -92,6 +92,9 @@ def build_model(pallas=None):
 
     config = ConfigNode(
         {
+            # BENCH_BF16=1 benches the end-to-end bf16 path (params f32,
+            # matmuls/activations bf16 — config/base.yaml: mixed_precision)
+            "mixed_precision": os.environ.get("BENCH_BF16", "0") == "1",
             "dataset": {
                 "name": "pamap2",
                 "modalities": MODALITIES,
@@ -398,7 +401,9 @@ def main():
         "metric": "PAMAP2 windows/sec/chip (preprocess+fwd)",
         "value": round(tpu["windows_per_sec"], 2),
         "unit": "windows/s",
-        "model": f"hybrid-{ENCODER}" + ("-flash" if ENCODER == "transformer" else ""),
+        "model": f"hybrid-{ENCODER}"
+        + ("-flash" if ENCODER == "transformer" else "")
+        + ("-bf16" if os.environ.get("BENCH_BF16", "0") == "1" else ""),
         "chunk_size": CHUNK,
         "vs_baseline": round(tpu["windows_per_sec"] / baseline_wps, 2),
         "p50_latency_ms_per_window": round(tpu["p50_latency_ms_per_window"], 4),

@@ -114,13 +114,22 @@ def main():
             continue
         print(f"\n=== {group} / {name} ===", flush=True)
         out_dir = Path(args.experiments_dir) / name
+        # fusion-sweep jobs map 1:1 to fusion_type subdirs of analysis/;
+        # ablation jobs are all fusion_type=hybrid and would stomp each
+        # other's plots, so each gets its own analysis root (the reference
+        # avoided this with per-CI-job workspaces, parallel_run.yml:48-72)
+        analysis_dir = (
+            args.analysis_dir
+            if group == "fusion-sweep"
+            else str(Path(args.analysis_dir) / name)
+        )
         try:
             results = train_main(overrides)
             ckpt = results["best_model_path"]
             eval_args = [
                 "--checkpoint", ckpt,
                 "--output_dir", str(out_dir),
-                "--analysis_dir", args.analysis_dir,
+                "--analysis_dir", analysis_dir,
             ]
             if group == "fusion-sweep":
                 eval_args.append("--missing_modality_test")
