@@ -402,7 +402,13 @@ def main():
         "value": round(tpu["windows_per_sec"], 2),
         "unit": "windows/s",
         "model": f"hybrid-{ENCODER}"
-        + ("-flash" if ENCODER == "transformer" else "")
+        + (
+            "-flash"
+            if ENCODER == "transformer"
+            and os.environ.get("BENCH_FLASH", "auto").lower()
+            not in ("0", "false", "no", "off")
+            else ""
+        )
         + ("-bf16" if os.environ.get("BENCH_BF16", "0") == "1" else ""),
         "chunk_size": CHUNK,
         "vs_baseline": round(tpu["windows_per_sec"] / baseline_wps, 2),

@@ -156,16 +156,25 @@ def _latency_over_batches(model, variables, batches) -> Tuple[float, float]:
             print("  Warning: Non-tensor feature encountered, skipping batch for latency measurement.")
             continue
         if mask is None:
-            mask = jnp.ones((batch_size, max(1, len(features))), jnp.float32)
+            # default mask width = the MODEL's modality count (a batch dict
+            # with extra/missing keys fails the model call and is skipped)
+            num_mod = len(getattr(model, "modalities", ())) or max(1, len(features))
+            mask = jnp.ones((batch_size, num_mod), jnp.float32)
         else:
             mask = jnp.asarray(mask)
         lengths = jnp.asarray(lengths) if lengths is not None else None
-        t0 = time.perf_counter()
+        # untimed warmup absorbs trace+compile for each new batch shape, so
+        # the timed call below measures steady-state latency; any model error
+        # (missing modality KeyError, shape mismatch, ...) is a skip, not an
+        # abort — the reference tolerates malformed batches the same way
+        # (src/eval.py:185-221)
         try:
             float(jitted(variables, features, mask, lengths))
-        except (TypeError, ValueError):
+        except Exception:
             print("  Warning: Model call failed during latency measurement, skipping batch.")
             continue
+        t0 = time.perf_counter()
+        float(jitted(variables, features, mask, lengths))
         per_sample_ms.append((time.perf_counter() - t0) / batch_size * 1000.0)
     if not per_sample_ms:
         return 0.0, 0.0

@@ -156,8 +156,9 @@ class _TransformerEncoderLayer(nn.Module):
     dtype: Optional[Any] = None
     # flash (tiled online-softmax Pallas) attention, forward AND backward
     # (custom VJP): the O(T^2) score tensor never materialises in training or
-    # inference (ops/pallas_attention.py). Attention-prob dropout is skipped
-    # on this path.
+    # inference (ops/pallas_attention.py). Attention-prob dropout is applied
+    # on NEITHER path (backend-independent training semantics); residual/ffn
+    # dropouts carry the regularisation.
     use_flash: bool = False
 
     @nn.compact
@@ -204,7 +205,13 @@ class _TransformerEncoderLayer(nn.Module):
             if key_padding_mask is not None:
                 mask = key_padding_mask[:, None, None, :]
             weights = masked_softmax(scores, mask)
-            weights = nn.Dropout(self.dropout, deterministic=not train)(weights)
+            # NO attention-probability dropout on either path: the flash
+            # kernel cannot apply it (the [T, T] weight tile only exists
+            # inside the kernel), so the XLA path matches — training
+            # semantics must not depend on which backend resolved
+            # ``flash_attention: auto``. Regularisation comes from the
+            # residual/ffn/output dropouts below (torch divergence: its
+            # MultiheadAttention also drops attention probs).
             attended = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(
                 batch, seq_len, self.hidden_dim
             )

@@ -246,8 +246,22 @@ class MultimodalFusionModel(nn.Module):
         dataset_cfg = config.dataset
         modalities = tuple(dataset_cfg.modalities)
         flash = model_cfg.get("flash_attention", "auto")
-        if isinstance(flash, str) and flash.lower() == "auto":
-            flash = jax.default_backend() == "tpu"
+        if isinstance(flash, str):
+            # dotted CLI overrides and env plumbing arrive as strings:
+            # "auto" resolves per-backend, everything else parses as a bool
+            # (bool("0") would otherwise silently ENABLE the kernel)
+            low = flash.lower()
+            if low == "auto":
+                flash = jax.default_backend() == "tpu"
+            elif low in ("1", "true", "yes", "on"):
+                flash = True
+            elif low in ("0", "false", "no", "off", ""):
+                flash = False
+            else:
+                raise ValueError(
+                    f"Unknown flash_attention value {flash!r}; "
+                    "expected auto/true/false"
+                )
         enc_cfgs = {}
         all_encoder_cfg = model_cfg.get("encoders", {}) or {}
         for name in modalities:

@@ -257,11 +257,12 @@ def _lstm_core_bwd_kernels(
 
 
 def _pick_block_t(seq_len: int, groups: int, batch: int, hidden: int) -> int:
+    # VMEM-budget heuristic; non-divisible seq_len is handled by padding in
+    # _prep (padded steps sit beyond every row's length, so the freeze
+    # semantics make them no-ops with zero gradients)
+    del seq_len
     per_step = groups * batch * 4 * hidden * 4  # gates bytes per step
-    block_t = max(1, min(8, (2 << 20) // max(1, per_step)))
-    while seq_len % block_t:
-        block_t -= 1
-    return max(block_t, 1)
+    return max(1, min(8, (2 << 20) // max(1, per_step)))
 
 
 def grouped_lstm_trainable(x_proj, w_hh, b_hh, lengths=None):
@@ -539,12 +540,11 @@ def _gru_core(x_proj, w_hh, b_hh, lengths_f):
 def _gru_prep(x_proj, lengths_f):
     seq_len, groups, batch, gates_h = x_proj.shape
     hidden = gates_h // 3
-    # same VMEM-budget heuristic as the LSTM pair (gates bytes per step)
+    # same VMEM-budget heuristic as the LSTM pair (gates bytes per step);
+    # non-divisible seq_len is padded below (padded steps sit beyond every
+    # row's length -> frozen, zero-gradient)
     per_step = groups * batch * 3 * hidden * 4
     block_t = max(1, min(8, (2 << 20) // max(1, per_step)))
-    while seq_len % block_t:
-        block_t -= 1
-    block_t = max(block_t, 1)
     pad_t = (-seq_len) % block_t
     if pad_t:
         x_proj = jnp.pad(x_proj, ((0, pad_t), (0, 0), (0, 0), (0, 0)))

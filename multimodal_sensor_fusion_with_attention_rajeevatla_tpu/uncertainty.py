@@ -287,8 +287,9 @@ def mc_dropout_uncertainty_fusion(
     """
     if getattr(model, "fusion_type", None) not in ("late", "uncertainty"):
         raise ValueError(
-            "mc_dropout_uncertainty_fusion requires a LateFusion model "
-            "(per-modality heads provide the per-modality predictions)."
+            "mc_dropout_uncertainty_fusion requires a LateFusion or "
+            "UncertaintyFusion model (per-modality heads provide the "
+            "per-modality predictions)."
         )
     names = list(model.modalities)
     batch = next(iter(features.values())).shape[0]

@@ -256,6 +256,18 @@ def load_config(
 
     defaults = raw.pop("defaults", None)
     if defaults:
+        # every remaining top-level key must be a preset SECTION (a mapping);
+        # a scalar like a stray top-level ``seed: 7`` would otherwise be
+        # silently dropped — presets-with-defaults files have no "shared
+        # override" slot (put shared keys in a defaults file instead)
+        bad = sorted(k for k, v in raw.items() if not isinstance(v, dict))
+        if bad:
+            raise ValueError(
+                f"Top-level key(s) {bad} in {path.name} are not preset "
+                "sections; in a 'defaults:' preset file every other "
+                "top-level key must be a mapping (move shared settings "
+                "into one of the defaults files)"
+            )
         cfg = ConfigNode({})
         for name in defaults:
             base_path = path.parent / (

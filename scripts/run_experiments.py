@@ -86,6 +86,21 @@ def matrix(epochs: int):
                 ],
             )
         )
+    # encoder-type ablation: transformer is the shipping default (the
+    # fusion-sweep hybrid job); lstm/cnn are the reference-parity variants
+    for enc in ("lstm", "cnn"):
+        jobs.append(
+            (
+                "encoder-ablation",
+                f"encoder_{enc}",
+                [
+                    "model.fusion_type=hybrid",
+                    *[f"model.encoders.{m}.encoder_type={enc}" for m in MODALITIES],
+                    f"training.max_epochs={epochs}",
+                    f"experiment.name=encoder_{enc}",
+                ],
+            )
+        )
     return jobs
 
 
@@ -93,8 +108,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--epochs", type=int, default=10)
     parser.add_argument(
-        "--groups", type=str, default="fusion,heads,chunks,single",
-        help="comma list: fusion,heads,chunks,single",
+        "--groups", type=str, default="fusion,heads,chunks,single,encoders",
+        help="comma list: fusion,heads,chunks,single,encoders",
     )
     parser.add_argument("--experiments_dir", type=str, default="experiments")
     parser.add_argument("--analysis_dir", type=str, default="analysis")
@@ -106,6 +121,7 @@ def main():
         "heads-ablation": "heads",
         "chunks-ablation": "chunks",
         "single-modality-sweep": "single",
+        "encoder-ablation": "encoders",
     }
 
     failures = []

@@ -422,6 +422,33 @@ class TestTrainableGRUKernel:
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
             )
 
+    def test_gradients_nondivisible_seq_len(self):
+        """T=23 pads to a block multiple; padded steps are frozen no-ops."""
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_rnn_train import (
+            grouped_gru_trainable,
+        )
+
+        G, B, T, H = 2, 4, 23, 16
+        rng = np.random.default_rng(7)
+        x_proj = jnp.asarray(rng.standard_normal((T, G, B, 3 * H)) * 0.3, jnp.float32)
+        w_hh = jnp.asarray(rng.standard_normal((G, H, 3 * H)) * 0.1, jnp.float32)
+        b_hh = jnp.asarray(rng.standard_normal((G, 3 * H)) * 0.1, jnp.float32)
+        lengths = jnp.asarray([23, 13, 1, 19], jnp.int32)
+        cot = jnp.asarray(rng.standard_normal((G, B, H)), jnp.float32)
+
+        def loss_pallas(xp, w, b):
+            return jnp.sum(grouped_gru_trainable(xp, w, b, lengths) * cot)
+
+        def loss_ref(xp, w, b):
+            return jnp.sum(self._scan_oracle(xp, w, b, lengths) * cot)
+
+        got = jax.grad(loss_pallas, argnums=(0, 1, 2))(x_proj, w_hh, b_hh)
+        want = jax.grad(loss_ref, argnums=(0, 1, 2))(x_proj, w_hh, b_hh)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+            )
+
     def test_grouped_encoder_gru_training_gradients(self, rng):
         """GroupedRNNEncoder(train=True, use_pallas) == XLA-scan gradients."""
         from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.models.grouped import (
@@ -490,6 +517,33 @@ class TestTrainableLSTMKernel:
         w_hh = jnp.asarray(rng.standard_normal((G, H, 4 * H)) * 0.1, jnp.float32)
         b_hh = jnp.asarray(rng.standard_normal((G, 4 * H)) * 0.1, jnp.float32)
         lengths = jnp.asarray([24, 13, 1, 24, 7, 24, 24, 18], jnp.int32)
+        cot = jnp.asarray(rng.standard_normal((G, B, H)), jnp.float32)
+
+        def loss_pallas(xp, w, b):
+            return jnp.sum(grouped_lstm_trainable(xp, w, b, lengths) * cot)
+
+        def loss_ref(xp, w, b):
+            return jnp.sum(self._scan_oracle(xp, w, b, lengths) * cot)
+
+        got = jax.grad(loss_pallas, argnums=(0, 1, 2))(x_proj, w_hh, b_hh)
+        want = jax.grad(loss_ref, argnums=(0, 1, 2))(x_proj, w_hh, b_hh)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+            )
+
+    def test_gradients_nondivisible_seq_len(self):
+        """T=23 pads to a block multiple; padded steps are frozen no-ops."""
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_rnn_train import (
+            grouped_lstm_trainable,
+        )
+
+        G, B, T, H = 2, 4, 23, 16
+        rng = np.random.default_rng(8)
+        x_proj = jnp.asarray(rng.standard_normal((T, G, B, 4 * H)) * 0.3, jnp.float32)
+        w_hh = jnp.asarray(rng.standard_normal((G, H, 4 * H)) * 0.1, jnp.float32)
+        b_hh = jnp.asarray(rng.standard_normal((G, 4 * H)) * 0.1, jnp.float32)
+        lengths = jnp.asarray([23, 13, 1, 19], jnp.int32)
         cot = jnp.asarray(rng.standard_normal((G, B, H)), jnp.float32)
 
         def loss_pallas(xp, w, b):

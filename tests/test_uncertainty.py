@@ -325,5 +325,7 @@ class TestMCDropoutUncertaintyFusion:
             }
         )
         model = MultimodalFusionModel.from_config(cfg)
-        with pytest.raises(ValueError, match="requires a LateFusion model"):
+        with pytest.raises(
+            ValueError, match="requires a LateFusion or UncertaintyFusion model"
+        ):
             mc_dropout_uncertainty_fusion(model, {}, {"a": jnp.ones((1, 4, 2))})
