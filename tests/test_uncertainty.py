@@ -124,6 +124,16 @@ class TestTemperatureScaling:
             )
             assert after <= before + 1e-9, (trial, before, after, ts.temperature)
 
+    def test_guarded_backs_off_below_min_windows(self):
+        """< min_windows (150): too few windows to estimate 15-bin ECE or to
+        transfer a temperature across subjects — guard keeps T = 1."""
+        rng = np.random.default_rng(5)
+        labels = rng.integers(0, 5, 100)
+        logits = rng.standard_normal((100, 5)) * 4.0  # overconfident
+        ts = TemperatureScaling()
+        ts.calibrate_guarded(logits, labels)
+        assert ts.temperature == 1.0
+
     def test_guarded_identity_on_calibrated_logits(self):
         """Already-calibrated logits: guard keeps T == 1 (identity)."""
         rng = np.random.default_rng(4)
