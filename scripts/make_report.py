@@ -23,6 +23,13 @@ def load_json(path: Path):
         return None
 
 
+def load_json_str(text: str):
+    try:
+        return json.loads(text)
+    except Exception:
+        return None
+
+
 def fmt(x, digits=3):
     if x is None:
         return "—"
@@ -52,9 +59,18 @@ def main(argv=None):
             if un:
                 uncertainty[d.name] = un
 
-    bench = None
+    # the bench file may hold ONE json object or several (one per line, e.g.
+    # default + bf16 + lstm-parity configurations); the first line is the
+    # headline (shipping default)
+    benches = []
     if args.bench and Path(args.bench).exists():
-        bench = load_json(Path(args.bench))
+        for line in Path(args.bench).read_text().splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                parsed = load_json_str(line)
+                if parsed:
+                    benches.append(parsed)
+    bench = benches[0] if benches else None
 
     lines = [
         "# Results report — TPU-native multimodal sensor fusion",
@@ -87,6 +103,20 @@ def main(argv=None):
                 "kernels)."
             )
         lines.append("")
+        if len(benches) > 1:
+            lines += [
+                "| model (chunk) | fwd windows/s | train windows/s | p50 ms/window | vs torch-CPU |",
+                "|---|---|---|---|---|",
+            ]
+            for b in benches:
+                lines.append(
+                    f"| {b.get('model', '?')} ({b.get('chunk_size', '?')}) | "
+                    f"{b.get('value', 0):.0f} | "
+                    f"{(b.get('train_windows_per_sec') or 0):.0f} | "
+                    f"{b.get('p50_latency_ms_per_window', 0):.3f} | "
+                    f"{b.get('vs_baseline', 0):.0f}× |"
+                )
+            lines.append("")
 
     if rows:
         lines += [
@@ -163,6 +193,27 @@ def main(argv=None):
                 f"modality {fmt(best_single)}, most important modality: {top}."
             )
         lines.append("")
+
+    seeds = load_json(exp / "bf16_flagship" / "seed_sweep.json")
+    if seeds:
+        lines += [
+            "## Mixed precision (bf16)",
+            "",
+            f"Paired fp32-vs-bf16 runs ({seeds.get('config', '')}):",
+            "",
+            "| seed | fp32 acc | bf16 acc |",
+            "|---|---|---|",
+        ]
+        for seed, pair in seeds.get("paired_seeds", {}).items():
+            lines.append(
+                f"| {seed} | {fmt(pair.get('fp32'))} | {fmt(pair.get('bf16'))} |"
+            )
+        lines += [
+            "",
+            f"Mean paired delta {seeds.get('mean_paired_delta_pts', 0):+.1f} pts — "
+            + str(seeds.get("note", "")),
+            "",
+        ]
 
     lines += [
         "## Plots",
