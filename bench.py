@@ -106,7 +106,7 @@ def build_model(pallas=None):
                 "hidden_dim": 256,
                 "output_dim": 128,
                 "num_heads": 4,
-                "dropout": 0.1,
+                "dropout": float(os.environ.get("BENCH_DROPOUT", "0.1")),
                 "layer_norm": True,
                 "grouped_encoders": os.environ.get("BENCH_GROUPED", "1") == "1",
                 "pallas_rnn": (
@@ -231,6 +231,8 @@ def bench_tpu(windows) -> dict:
                     "optimizer": "adamw", "scheduler": "cosine",
                     "gradient_clip_norm": 1.0, "label_smoothing": 0.05,
                     "augmentation": {"modality_dropout": 0.1},
+                    # BENCH_PRNG=rbg measures the cheap-RNG dropout path
+                    "prng_impl": os.environ.get("BENCH_PRNG", ""),
                 },
                 "seed": 0,
             }

@@ -203,6 +203,27 @@ def test_remat_flag_trains(tiny_model_cfg, tmp_path):
     assert np.isfinite(results["history"][0]["train/loss"])
 
 
+def test_prng_impl_rbg_trains(tiny_model_cfg, tmp_path):
+    """training.prng_impl=rbg (cheap dropout-mask RNG, +34% measured train
+    throughput on v5e) trains to finite losses; bad values raise."""
+    import jax as _jax
+
+    cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+    cfg.set_dotted("training.prng_impl", "rbg")
+    cfg.set_dotted("training.max_epochs", 1)
+    train_w, val_w, _ = _splits(num=32)
+    try:
+        results = Trainer(cfg).fit(train_w, val_w, save_dir=tmp_path, log_fn=None)
+        assert np.isfinite(results["history"][0]["train/loss"])
+    finally:
+        _jax.config.update("jax_default_prng_impl", "threefry2x32")
+
+    bad = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+    bad.set_dotted("training.prng_impl", "bogus")
+    with pytest.raises(ValueError, match="Unknown training.prng_impl"):
+        Trainer(bad)
+
+
 def test_temporal_jitter_trains(tiny_model_cfg, tmp_path):
     cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
     cfg.set_dotted("training.augmentation.temporal_jitter", 0.2)
