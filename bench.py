@@ -388,6 +388,18 @@ def bench_torch_cpu_baseline(max_windows: int = 12) -> float:
     return wps
 
 
+def _flash_resolved() -> bool:
+    """Resolve BENCH_FLASH exactly the way the model config does, so the
+    recorded model label matches what actually executed."""
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.models.module import (
+        _parse_backend_flag,
+    )
+
+    return _parse_backend_flag(
+        os.environ.get("BENCH_FLASH", "auto"), "flash_attention"
+    )
+
+
 def main():
     windows, real = load_windows()
     # the tunneled backend occasionally throws transient FAILED_PRECONDITION;
@@ -404,13 +416,7 @@ def main():
         "value": round(tpu["windows_per_sec"], 2),
         "unit": "windows/s",
         "model": f"hybrid-{ENCODER}"
-        + (
-            "-flash"
-            if ENCODER == "transformer"
-            and os.environ.get("BENCH_FLASH", "auto").lower()
-            not in ("0", "false", "no", "off")
-            else ""
-        )
+        + ("-flash" if ENCODER == "transformer" and _flash_resolved() else "")
         + ("-bf16" if os.environ.get("BENCH_BF16", "0") == "1" else ""),
         "chunk_size": CHUNK,
         "vs_baseline": round(tpu["windows_per_sec"] / baseline_wps, 2),

@@ -132,6 +132,7 @@ def _latency_over_batches(model, variables, batches) -> Tuple[float, float]:
     """Latency sweep over an arbitrary iterable of batches with the
     reference's skip-with-warning tolerance (``src/eval.py:185-221``)."""
     per_sample_ms: List[float] = []
+    warmed: set = set()  # (shape, dtype) signatures already traced+compiled
     jitted = jax.jit(
         lambda variables, features, mask, lengths: jnp.sum(
             model.apply(variables, features, mask, lengths, train=False)
@@ -163,18 +164,23 @@ def _latency_over_batches(model, variables, batches) -> Tuple[float, float]:
         else:
             mask = jnp.asarray(mask)
         lengths = jnp.asarray(lengths) if lengths is not None else None
-        # untimed warmup absorbs trace+compile for each new batch shape, so
-        # the timed call below measures steady-state latency; any model error
-        # (missing modality KeyError, shape mismatch, ...) is a skip, not an
-        # abort — the reference tolerates malformed batches the same way
-        # (src/eval.py:185-221)
+        # one untimed warmup per NEW (shape, dtype) signature absorbs
+        # trace+compile, so timed calls measure steady-state latency; any
+        # model error (missing modality KeyError, shape mismatch, ...) is a
+        # skip, not an abort — the reference tolerates malformed batches the
+        # same way (src/eval.py:185-221)
+        sig = tuple(
+            sorted((k, v.shape, str(v.dtype)) for k, v in features.items())
+        )
         try:
+            if sig not in warmed:
+                float(jitted(variables, features, mask, lengths))
+                warmed.add(sig)
+            t0 = time.perf_counter()
             float(jitted(variables, features, mask, lengths))
         except Exception:
             print("  Warning: Model call failed during latency measurement, skipping batch.")
             continue
-        t0 = time.perf_counter()
-        float(jitted(variables, features, mask, lengths))
         per_sample_ms.append((time.perf_counter() - t0) / batch_size * 1000.0)
     if not per_sample_ms:
         return 0.0, 0.0

@@ -25,6 +25,25 @@ from .grouped import GroupedRNNEncoder, groupable_modalities, stack_group_featur
 from ..ops.masked import lengths_to_mask
 
 
+def _parse_backend_flag(value, name: str) -> bool:
+    """Parse an auto/bool kernel flag that may arrive as a STRING (dotted CLI
+    overrides, env plumbing): "auto" resolves per-backend, everything else
+    parses as a bool — ``bool("0")`` would otherwise silently ENABLE the
+    kernel the user asked to disable."""
+    if isinstance(value, str):
+        low = value.lower()
+        if low == "auto":
+            return jax.default_backend() == "tpu"
+        if low in ("1", "true", "yes", "on"):
+            return True
+        if low in ("0", "false", "no", "off", ""):
+            return False
+        raise ValueError(
+            f"Unknown {name} value {value!r}; expected auto/true/false"
+        )
+    return bool(value)
+
+
 class MultimodalFusionModel(nn.Module):
     """Encoders + optional LayerNorm + fusion head, config-driven.
 
@@ -245,23 +264,9 @@ class MultimodalFusionModel(nn.Module):
         model_cfg = config.model
         dataset_cfg = config.dataset
         modalities = tuple(dataset_cfg.modalities)
-        flash = model_cfg.get("flash_attention", "auto")
-        if isinstance(flash, str):
-            # dotted CLI overrides and env plumbing arrive as strings:
-            # "auto" resolves per-backend, everything else parses as a bool
-            # (bool("0") would otherwise silently ENABLE the kernel)
-            low = flash.lower()
-            if low == "auto":
-                flash = jax.default_backend() == "tpu"
-            elif low in ("1", "true", "yes", "on"):
-                flash = True
-            elif low in ("0", "false", "no", "off", ""):
-                flash = False
-            else:
-                raise ValueError(
-                    f"Unknown flash_attention value {flash!r}; "
-                    "expected auto/true/false"
-                )
+        flash = _parse_backend_flag(
+            model_cfg.get("flash_attention", "auto"), "flash_attention"
+        )
         enc_cfgs = {}
         all_encoder_cfg = model_cfg.get("encoders", {}) or {}
         for name in modalities:
@@ -273,9 +278,9 @@ class MultimodalFusionModel(nn.Module):
             if cfg.get("encoder_type") == "transformer":
                 cfg.setdefault("flash_attention", bool(flash))
             enc_cfgs[name] = cfg
-        pallas_rnn = model_cfg.get("pallas_rnn", False)
-        if isinstance(pallas_rnn, str) and pallas_rnn.lower() == "auto":
-            pallas_rnn = jax.default_backend() == "tpu"
+        pallas_rnn = _parse_backend_flag(
+            model_cfg.get("pallas_rnn", False), "pallas_rnn"
+        )
         return cls(
             modalities=modalities,
             encoder_configs=tuple(sorted((k, tuple(sorted(v.items()))) for k, v in enc_cfgs.items())),

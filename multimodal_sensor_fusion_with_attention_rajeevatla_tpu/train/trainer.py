@@ -149,17 +149,19 @@ class Trainer:
         # 1214 train-windows/s, rbg 1624 (+34%), no-dropout 1924. rbg's
         # streams are deterministic per key but may change across compiler
         # versions, hence opt-in.
-        prng_impl = str(config.training.get("prng_impl", "")).lower()
-        if prng_impl:
-            if prng_impl not in ("threefry", "rbg", "unsafe_rbg"):
-                raise ValueError(
-                    f"Unknown training.prng_impl {prng_impl!r}; "
-                    "expected threefry or rbg"
-                )
-            jax.config.update(
-                "jax_default_prng_impl",
-                "threefry2x32" if prng_impl == "threefry" else prng_impl,
+        prng_impl = str(config.training.get("prng_impl", "")).lower() or "threefry"
+        if prng_impl not in ("threefry", "rbg", "unsafe_rbg"):
+            raise ValueError(
+                f"Unknown training.prng_impl {prng_impl!r}; "
+                "expected threefry or rbg"
             )
+        # ALWAYS set the impl (unset config -> the documented threefry
+        # default) so a prior Trainer's rbg choice cannot leak into a later
+        # Trainer in the same process
+        jax.config.update(
+            "jax_default_prng_impl",
+            "threefry2x32" if prng_impl == "threefry" else prng_impl,
+        )
         # dataset.streaming: true = do NOT keep the windowed split in HBM;
         # stream double-buffered host batches through StreamingDeviceLoader
         # and train with a per-batch jitted step. For datasets that outgrow

@@ -21,7 +21,7 @@ Capability parity with the reference (``src/uncertainty.py``):
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Callable, Dict, List, Mapping, Sequence, Tuple
+from typing import Any, Callable, Dict, List, Mapping, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -394,7 +394,7 @@ class TemperatureScaling:
         labels,
         num_bins: int = 15,
         max_iter: int = 50,
-        min_windows: int = 150,
+        min_windows: Optional[int] = None,
     ) -> float:
         """ECE-guarded calibration: never worse than ``T=1`` on the fit split,
         and robust to tiny splits.
@@ -403,11 +403,12 @@ class TemperatureScaling:
         windows on the surviving PAMAP2 subset) and worsen test ECE. This
         variant:
 
-        - keeps T=1 outright when the split has < ``min_windows`` windows:
-          15-bin ECE needs ~10 samples per bin to estimate at all, and on
-          cross-subject splits a temperature fitted to fewer windows does
-          not transfer (measured: val-fit T worsened TEST ECE in 8/14
-          experiments on the 45-89-window surviving-PAMAP2 val splits),
+        - keeps T=1 outright when the split has < ``min_windows`` windows
+          (default ``10 * num_bins``): ECE needs ~10 samples per bin to
+          estimate at all, and on cross-subject splits a temperature fitted
+          to fewer windows does not transfer (measured: val-fit T worsened
+          TEST ECE in 8/14 experiments on the 45-89-window
+          surviving-PAMAP2 val splits),
         - restricts candidates to a conservative range ``[0.5, 2.5]`` plus
           the (clipped) NLL-fit T,
         - 2-fold cross-check: a candidate must improve ECE on BOTH
@@ -416,6 +417,8 @@ class TemperatureScaling:
         - requires a non-trivial improvement (0.005 absolute) over T=1,
           falling back to the identity otherwise — scaling can only help.
         """
+        if min_windows is None:
+            min_windows = 10 * num_bins
         logits_np = np.asarray(logits, np.float32)
         labels_np = np.asarray(labels)
         n = labels_np.shape[0]

@@ -16,16 +16,16 @@ import json
 from pathlib import Path
 
 
-def load_json(path: Path):
+def load_json_str(text: str):
     try:
-        return json.loads(path.read_text())
+        return json.loads(text)
     except Exception:
         return None
 
 
-def load_json_str(text: str):
+def load_json(path: Path):
     try:
-        return json.loads(text)
+        return load_json_str(path.read_text())
     except Exception:
         return None
 

@@ -166,7 +166,11 @@ def main():
         ]
     )
     summary = {
-        "jobs": [name for _, name, _ in matrix(args.epochs)],
+        "jobs": [
+            name
+            for group, name, _ in matrix(args.epochs)
+            if group_map[group] in wanted
+        ],
         "failures": failures,
     }
     print(json.dumps(summary, indent=2))

@@ -94,6 +94,24 @@ class TestFromConfig:
             assert model.fusion_type == fusion
             assert model.modalities == ("sensor1", "sensor2")
 
+    def test_backend_flag_strings_parse_as_bools(self, tiny_model_cfg):
+        """CLI/env strings: "false"/"0" must DISABLE kernels (bool("0") is
+        True — the naive coercion silently enabled them); bad values raise."""
+        import pytest as _pytest
+
+        for raw, expect in [("false", False), ("0", False), ("true", True),
+                            ("on", True), ("", False)]:
+            cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+            cfg.set_dotted("model.pallas_rnn", raw)
+            cfg.set_dotted("model.flash_attention", raw)
+            model = MultimodalFusionModel.from_config(cfg)
+            assert model.pallas_rnn is expect, (raw, model.pallas_rnn)
+
+        cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+        cfg.set_dotted("model.pallas_rnn", "bogus")
+        with _pytest.raises(ValueError, match="Unknown pallas_rnn"):
+            MultimodalFusionModel.from_config(cfg)
+
     def test_return_attention_non_hybrid_raises(self, tiny_model_cfg):
         cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
         cfg.set_dotted("model.fusion_type", "early")
