@@ -24,14 +24,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def make_mesh(
     num_devices: Optional[int] = None,
     devices: Optional[Sequence[jax.Device]] = None,
     axis_name: str = DATA_AXIS,
+    model_parallel: int = 1,
 ) -> Mesh:
-    """1-D data-parallel mesh over the first ``num_devices`` devices.
+    """Device mesh over the first ``num_devices`` devices.
+
+    ``model_parallel=1`` (default): 1-D data-parallel mesh ``("data",)``.
+    ``model_parallel=M``: 2-D ``("data", "model")`` mesh of shape
+    ``(num_devices // M, M)`` — batch shards over "data", the transformer
+    feed-forward weights shard over "model" (see :func:`tp_param_spec`);
+    XLA's SPMD partitioner inserts the all-gather/reduce-scatter collectives
+    over ICI.
 
     When the default backend has fewer than ``num_devices`` chips, fall back
     to the host CPU device pool (``--xla_force_host_platform_device_count``):
@@ -53,7 +62,83 @@ def make_mesh(
                 f"Requested {num_devices} devices but only {len(devices)} available"
             )
         devices = devices[:num_devices]
+    model_parallel = int(model_parallel or 1)
+    if model_parallel > 1:
+        n = len(devices)
+        if n % model_parallel:
+            raise ValueError(
+                f"model_parallel={model_parallel} must divide the device "
+                f"count ({n})"
+            )
+        grid = np.array(devices).reshape(n // model_parallel, model_parallel)
+        return Mesh(grid, (axis_name, MODEL_AXIS))
     return Mesh(np.array(devices), (axis_name,))
+
+
+def tp_param_spec(path_names: Sequence[str]) -> P:
+    """Tensor-parallel PartitionSpec for a param (or optimizer-moment) leaf.
+
+    The transformer encoder's feed-forward pair dominates its FLOPs and
+    params; Megatron-style column/row sharding over the "model" axis:
+
+    - ``linear1/kernel [H, ffw]`` -> shard ffw columns ``P(None, "model")``
+      (+ its bias ``P("model")``),
+    - ``linear2/kernel [ffw, H]`` -> shard ffw rows ``P("model", None)``
+      (bias replicated — it follows the row-reduced output).
+
+    The relu between them is elementwise, so activations stay sharded on the
+    ffw dim with NO collective in between; XLA inserts one reduce/all-gather
+    after linear2. Everything else (attention, projections, fusion, RNNs)
+    stays replicated over "model" — at hidden_dim 256 those matmuls are too
+    small for TP to pay for its collectives.
+
+    Works on params, Adam mu/nu (same tree paths), and any state mirror.
+    """
+    names = list(path_names)
+    for i, name in enumerate(names[:-1]):
+        leaf = names[-1]
+        if name == "linear1":
+            if leaf == "kernel":
+                return P(None, MODEL_AXIS)
+            if leaf == "bias":
+                return P(MODEL_AXIS)
+        if name == "linear2" and leaf == "kernel":
+            return P(MODEL_AXIS, None)
+    return P()
+
+
+def _path_names(path) -> list:
+    names = []
+    for entry in path:
+        key = getattr(entry, "key", None)
+        if key is None:
+            key = getattr(entry, "name", None)
+        if key is None:
+            key = getattr(entry, "idx", None)
+        names.append(str(key))
+    return names
+
+
+def state_shardings(mesh: Mesh, tree):
+    """NamedSharding pytree for a train state / param tree.
+
+    On a 1-D (data-only) mesh everything is replicated; on a 2-D mesh the
+    tensor-parallel rule (:func:`tp_param_spec`) applies wherever the leaf's
+    path names a sharded layer — params AND optimizer moments match because
+    optax moment trees mirror the param tree's nesting.
+    """
+    if MODEL_AXIS not in mesh.axis_names:
+        rep = NamedSharding(mesh, P())
+        return jax.tree_util.tree_map(lambda _: rep, tree)
+
+    def one(path, leaf):
+        spec = tp_param_spec(_path_names(path))
+        # rank guard: a spec longer than the leaf's rank is invalid
+        if len(spec) > getattr(leaf, "ndim", 0):
+            spec = P()
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(one, tree)
 
 
 def resolve_num_devices(requested) -> int:

@@ -37,7 +37,12 @@ from ..data.dataset import BatchLoader, WindowedSplit
 from ..data.device import DeviceSplit, device_put_split
 from ..models.module import MultimodalFusionModel
 from ..ops.metrics import cross_entropy_loss
-from ..parallel.mesh import make_mesh, replicated_sharding, resolve_num_devices
+from ..parallel.mesh import (
+    make_mesh,
+    replicated_sharding,
+    resolve_num_devices,
+    state_shardings,
+)
 from .checkpoint import CheckpointManager
 
 
@@ -174,15 +179,25 @@ class Trainer:
         # sharded on the batch axis, collectives inserted by XLA over ICI.
         par_cfg = config.get("parallel", {}) or {}
         self.requested_devices = par_cfg.get("num_devices", 1)
+        # parallel.model_parallel: M > 1 adds a second "model" mesh axis and
+        # Megatron-shards the transformer feed-forward weights over it
+        # (parallel/mesh.py::tp_param_spec); the mesh becomes
+        # (num_devices // M) data x M model.
+        self.model_parallel = int(par_cfg.get("model_parallel", 1) or 1)
         self.mesh = None
 
     # -- mesh / placement ---------------------------------------------------
     def _ensure_mesh(self):
-        """Build the DP mesh on first use (``parallel.num_devices`` > 1)."""
+        """Build the mesh on first use (``parallel.num_devices`` > 1):
+        1-D data-parallel, or 2-D data x model when model_parallel > 1."""
         if self.mesh is None:
             n = resolve_num_devices(self.requested_devices)
             if n > 1:
-                self.mesh = make_mesh(n)
+                self.mesh = make_mesh(n, model_parallel=self.model_parallel)
+            elif self.model_parallel > 1:
+                raise ValueError(
+                    "parallel.model_parallel requires parallel.num_devices > 1"
+                )
         return self.mesh
 
     def _device_ctx(self):
@@ -527,10 +542,18 @@ class Trainer:
 
         mesh = self.mesh
         if mesh is not None and log_fn:
-            log_fn(
-                f"data-parallel mesh: {self.n_shards} devices "
-                f"({mesh.devices.flat[0].platform}), batch axis sharded"
-            )
+            if self.model_parallel > 1:
+                log_fn(
+                    f"dp x tp mesh: {self.n_shards} data x "
+                    f"{self.model_parallel} model devices "
+                    f"({mesh.devices.flat[0].platform}), batch sharded over "
+                    "'data', transformer ffw weights over 'model'"
+                )
+            else:
+                log_fn(
+                    f"data-parallel mesh: {self.n_shards} devices "
+                    f"({mesh.devices.flat[0].platform}), batch axis sharded"
+                )
         eff_batch = self._effective_batch()
 
         # streaming mode never materialises the train split in HBM
@@ -554,7 +577,10 @@ class Trainer:
             if log_fn:
                 log_fn(f"resumed from {resume_from} at epoch {start_epoch}")
         if mesh is not None:
-            state = jax.device_put(state, replicated_sharding(mesh))
+            # replicated on a 1-D data mesh; on a 2-D data x model mesh the
+            # transformer ffw params (and their Adam moments, which mirror
+            # the param tree) shard over the "model" axis
+            state = jax.device_put(state, state_shardings(mesh, state))
         epoch_fn = None if self.streaming else self.make_train_epoch_fn()
         step_fn = self.make_train_step_fn() if self.streaming else None
 

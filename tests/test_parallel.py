@@ -122,6 +122,77 @@ def test_fit_dataparallel_matches_single_device(tiny_model_cfg, tmp_path):
         assert hn["val/loss"] == pytest.approx(h1["val/loss"], rel=2e-4)
 
 
+def test_fit_tensor_parallel_matches_single_device(tiny_model_cfg, tmp_path):
+    """2-D data x model mesh (parallel.model_parallel=2): transformer ffw
+    weights Megatron-shard over "model", and training matches 1-device
+    losses. Exercises tp_param_spec on params AND Adam moments."""
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.data.dataset import (
+        SyntheticMultimodalDataset,
+    )
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.parallel.mesh import (
+        MODEL_AXIS,
+    )
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.train.trainer import (
+        Trainer,
+    )
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.utils.config import (
+        ConfigNode,
+    )
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    dims = {"sensor1": 8, "sensor2": 8}
+    train = SyntheticMultimodalDataset(
+        num_samples=16, num_classes=5, modality_dims=dims,
+        sequence_length=6, split="train",
+    ).windows
+    val = SyntheticMultimodalDataset(
+        num_samples=8, num_classes=5, modality_dims=dims,
+        sequence_length=6, split="val",
+    ).windows
+
+    def run(parallel):
+        cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+        cfg.set_dotted("dataset.batch_size", 8)
+        cfg.set_dotted("training.max_epochs", 2)
+        # transformer encoders so the TP rule actually shards something
+        cfg.set_dotted("model.encoders", {
+            "sensor1": {"type": "sequence", "encoder_type": "transformer",
+                        "input_dim": 8, "num_layers": 1},
+            "sensor2": {"type": "sequence", "encoder_type": "transformer",
+                        "input_dim": 8, "num_layers": 1},
+        })
+        cfg.set_dotted("parallel", parallel)
+        trainer = Trainer(cfg)
+        results = trainer.fit(
+            train, val, save_dir=tmp_path / f"tp{parallel}", log_fn=None
+        )
+        return trainer, results
+
+    t1, r1 = run({})
+    tn, rn = run({"num_devices": 4, "model_parallel": 2})
+    assert t1.mesh is None
+    assert tn.mesh is not None
+    assert tn.mesh.shape["data"] == 2 and tn.mesh.shape[MODEL_AXIS] == 2
+    for h1, hn in zip(r1["history"], rn["history"]):
+        assert hn["train/loss"] == pytest.approx(h1["train/loss"], rel=2e-3)
+        assert hn["val/loss"] == pytest.approx(h1["val/loss"], rel=2e-3)
+
+
+def test_tp_param_spec_rule():
+    from jax.sharding import PartitionSpec as P
+
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.parallel.mesh import (
+        tp_param_spec,
+    )
+
+    assert tp_param_spec(["encoder_sensor1", "layer0", "linear1", "kernel"]) == P(None, "model")
+    assert tp_param_spec(["layer0", "linear1", "bias"]) == P("model")
+    assert tp_param_spec(["layer0", "linear2", "kernel"]) == P("model", None)
+    assert tp_param_spec(["layer0", "linear2", "bias"]) == P()
+    assert tp_param_spec(["layer0", "q_proj", "kernel"]) == P()
+
+
 def test_trainer_epoch_sharded_matches_replicated(tiny_model_cfg):
     """The whole-epoch scan produces the same loss whether the per-step batch
     axis is sharded over the mesh or fully replicated."""
