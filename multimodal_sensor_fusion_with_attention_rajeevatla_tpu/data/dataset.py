@@ -201,15 +201,21 @@ class MultimodalDataset:
             raise ValueError(f"No shards found in manifest {manifest_path}")
         return entries
 
-    def _chunk_cache_path(self, num_shards: int) -> Optional[Path]:
+    def _chunk_cache_path(self, shard_rows: List[int]) -> Optional[Path]:
         if self.chunk_cache_dir is None:
             return None
         self.chunk_cache_dir.mkdir(parents=True, exist_ok=True)
         key = (
             f"{self.split}_chunks_{self.chunk_size or 'full'}"
-            f"_s{self.window_stride or 'full'}_{num_shards}"
+            f"_s{self.window_stride or 'full'}_{len(shard_rows)}"
         )
-        digest = hashlib.md5(str(self.data_dir).encode()).hexdigest()[:8]
+        # the fingerprint must cover per-shard ROW COUNTS, not just the shard
+        # count: after re-preprocessing, a stale cached chunk with
+        # end > current rows would feed out-of-bounds offsets straight into
+        # the native window_gather
+        digest = hashlib.md5(
+            (str(self.data_dir) + ":" + ",".join(map(str, shard_rows))).encode()
+        ).hexdigest()[:8]
         return self.chunk_cache_dir / f"{key}_{digest}.json"
 
     def _build_chunks(self, shard_rows: List[int]) -> List[Tuple[int, int, int]]:
@@ -229,11 +235,19 @@ class MultimodalDataset:
         return chunks
 
     def _load_or_build_chunks(self, shard_rows: List[int]) -> List[Tuple[int, int, int]]:
-        cache_path = self._chunk_cache_path(len(shard_rows))
+        cache_path = self._chunk_cache_path(shard_rows)
         if cache_path and cache_path.exists():
             try:
                 cached = json.loads(cache_path.read_text())
-                return [(int(a), int(b), int(c)) for a, b, c in cached]
+                chunks = [(int(a), int(b), int(c)) for a, b, c in cached]
+                # belt-and-braces: reject any cached window that exceeds the
+                # CURRENT shard bounds (the row-count fingerprint in the
+                # cache key should already have rotated the file)
+                if all(
+                    0 <= s < len(shard_rows) and 0 <= b < e <= shard_rows[s]
+                    for s, b, e in chunks
+                ):
+                    return chunks
             except Exception:
                 pass
         chunks = self._build_chunks(shard_rows)
@@ -565,7 +579,7 @@ def create_datasets(
             ).windows
 
         n_train = kwargs.get("num_samples", 10000)
-        n_eval = max(1, kwargs.get("num_samples", 2000) // 5)
+        n_eval = max(1, n_train // 5)
         return make("train", n_train), make("val", n_eval), make("test", n_eval)
 
     def make_real(split, stride=None):

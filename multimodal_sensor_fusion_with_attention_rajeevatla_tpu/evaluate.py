@@ -128,17 +128,25 @@ def _infer_batch_size(labels, features) -> Optional[int]:
     return None
 
 
-def _latency_over_batches(model, variables, batches) -> Tuple[float, float]:
+def _latency_over_batches(
+    model, variables, batches, max_batches: int = 50, warmup: int = 3
+) -> Tuple[float, float]:
     """Latency sweep over an arbitrary iterable of batches with the
-    reference's skip-with-warning tolerance (``src/eval.py:185-221``)."""
+    reference's skip-with-warning tolerance (``src/eval.py:185-221``).
+
+    Consumes at most ``max_batches`` batches (the iterable may be a
+    streaming/infinite loader) and performs ``warmup`` untimed calls per new
+    input SIGNATURE — which covers feature shapes/dtypes AND the mask /
+    lengths structure, since a ``lengths=None`` -> array change re-traces.
+    """
     per_sample_ms: List[float] = []
-    warmed: set = set()  # (shape, dtype) signatures already traced+compiled
+    warmed: set = set()  # signatures already traced+compiled
     jitted = jax.jit(
         lambda variables, features, mask, lengths: jnp.sum(
             model.apply(variables, features, mask, lengths, train=False)
         )
     )
-    for batch in batches:
+    for batch in itertools.islice(batches, max_batches):
         parsed = _parse_latency_batch(batch)
         if parsed is None:
             print("  Warning: Unable to parse batch for latency measurement, skipping.")
@@ -164,17 +172,21 @@ def _latency_over_batches(model, variables, batches) -> Tuple[float, float]:
         else:
             mask = jnp.asarray(mask)
         lengths = jnp.asarray(lengths) if lengths is not None else None
-        # one untimed warmup per NEW (shape, dtype) signature absorbs
-        # trace+compile, so timed calls measure steady-state latency; any
-        # model error (missing modality KeyError, shape mismatch, ...) is a
-        # skip, not an abort — the reference tolerates malformed batches the
-        # same way (src/eval.py:185-221)
-        sig = tuple(
-            sorted((k, v.shape, str(v.dtype)) for k, v in features.items())
+        # untimed warmups per NEW input signature absorb trace+compile, so
+        # timed calls measure steady-state latency; the signature includes
+        # mask/lengths structure (None vs array retraces). Any model error
+        # (missing modality KeyError, shape mismatch, ...) is a skip, not an
+        # abort — the reference tolerates malformed batches the same way
+        # (src/eval.py:185-221)
+        sig = (
+            tuple(sorted((k, v.shape, str(v.dtype)) for k, v in features.items())),
+            None if mask is None else (tuple(mask.shape), str(mask.dtype)),
+            None if lengths is None else (tuple(lengths.shape), str(lengths.dtype)),
         )
         try:
             if sig not in warmed:
-                float(jitted(variables, features, mask, lengths))
+                for _ in range(max(1, warmup)):
+                    float(jitted(variables, features, mask, lengths))
                 warmed.add(sig)
             t0 = time.perf_counter()
             float(jitted(variables, features, mask, lengths))
@@ -207,7 +219,9 @@ def measure_inference_latency(
     skip-with-warning semantics (``src/eval.py:133-165,185-221``).
     """
     if not isinstance(windows, (DeviceSplit, WindowedSplit)):
-        return _latency_over_batches(model, variables, windows)
+        return _latency_over_batches(
+            model, variables, windows, max_batches=max_batches, warmup=warmup
+        )
     data = windows if isinstance(windows, DeviceSplit) else device_put_split(windows)
     n = data.num_windows
     idx_mat, steps = _index_matrix(n, batch_size)

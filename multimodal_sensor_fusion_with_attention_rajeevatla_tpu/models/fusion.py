@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.masked import masked_softmax
+from ..ops.masked import adaptive_gate_weights, masked_softmax
 from .attention import StackedPairAttention, ordered_pairs
 
 
@@ -357,18 +357,7 @@ class HybridFusion(nn.Module):
             scores.append(self.gates[name](modality_features[name]))
         score_tensor = jnp.concatenate(scores, axis=1)  # (B, M)
         mask = modality_mask.astype(score_tensor.dtype)
-
-        weights = masked_softmax(score_tensor, (mask > 0).astype(mask.dtype), axis=1)
-        weights = weights * mask
-
-        sum_weights = jnp.sum(weights, axis=1, keepdims=True)
-        mask_sum = jnp.sum(mask, axis=1, keepdims=True)
-        fallback = jnp.where(
-            mask_sum > 0,
-            mask / (mask_sum + 1e-8),
-            jnp.full_like(mask, 1.0 / len(names)),
-        )
-        return jnp.where(sum_weights > 0, weights / (sum_weights + 1e-8), fallback)
+        return adaptive_gate_weights(score_tensor, mask, len(names), axis=1)
 
 
 _FUSION_CLASSES = {

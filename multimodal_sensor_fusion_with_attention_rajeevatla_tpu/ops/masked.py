@@ -56,6 +56,34 @@ def masked_softmax(
     return out.astype(out_dtype)
 
 
+def adaptive_gate_weights(
+    scores: jax.Array,  # [..., M] gate scores
+    mask: jax.Array,    # [..., M] {0,1} availability mask
+    num_modalities: int,
+    axis: int = -1,
+) -> jax.Array:
+    """Masked-softmax gate weights with the reference's fallback math.
+
+    Reference ``src/fusion.py:429-479``: ``-inf``-mask -> softmax -> nan
+    scrub -> re-mask -> renormalise; rows whose weights sum to zero fall back
+    to mask-proportional weights, or uniform ``1/num_modalities`` when the
+    mask itself is all-zero. This is THE single implementation of the
+    contract — the XLA fusion head and the Pallas serving kernel both call
+    it (jnp ops trace fine inside a Pallas kernel body).
+    """
+    mask = mask.astype(scores.dtype)
+    weights = masked_softmax(scores, (mask > 0).astype(mask.dtype), axis=axis)
+    weights = weights * mask
+    sum_weights = jnp.sum(weights, axis=axis, keepdims=True)
+    mask_sum = jnp.sum(mask, axis=axis, keepdims=True)
+    fallback = jnp.where(
+        mask_sum > 0,
+        mask / (mask_sum + 1e-8),
+        jnp.full_like(mask, 1.0 / num_modalities),
+    )
+    return jnp.where(sum_weights > 0, weights / (sum_weights + 1e-8), fallback)
+
+
 def masked_mean_pool(
     x: jax.Array,
     mask: Optional[jax.Array] = None,

@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .masked import adaptive_gate_weights
+
 
 def _head_kernel(
     num_mod: int,
@@ -70,24 +72,16 @@ def _head_kernel(
         agg = agg * mask[:, q : q + 1]
         agg_list.append(agg)
 
-    # adaptive gate weights with the reference fallback math
+    # adaptive gate weights: the ONE shared implementation of the
+    # masked-softmax + fallback contract (ops/masked.py) traces inside the
+    # kernel body — serving cannot silently diverge from training
     score_cols = [
         jnp.sum(agg_list[m] * wg_ref[m : m + 1, :], axis=-1, keepdims=True)
         + bg_ref[0, m]
         for m in range(num_mod)
     ]
     score = jnp.concatenate(score_cols, axis=-1)  # [TB, M]
-    neg = jnp.where(mask > 0, score, -jnp.inf)
-    row_max = jnp.max(neg, axis=-1, keepdims=True)
-    safe_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
-    unnorm = jnp.where(jnp.isfinite(neg), jnp.exp(neg - safe_max), 0.0)
-    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
-    weights = jnp.where(denom > 0, unnorm / jnp.where(denom > 0, denom, 1.0), 0.0)
-    weights = weights * mask
-    wsum = jnp.sum(weights, axis=-1, keepdims=True)
-    msum = jnp.sum(mask, axis=-1, keepdims=True)
-    fallback = jnp.where(msum > 0, mask / (msum + 1e-8), 1.0 / num_mod)
-    weights = jnp.where(wsum > 0, weights / (wsum + 1e-8), fallback)
+    weights = adaptive_gate_weights(score, mask, num_mod)
 
     fused = agg_list[0] * weights[:, 0:1]
     for m in range(1, num_mod):

@@ -290,14 +290,20 @@ def _prep(x_proj, lengths_f):
     hidden = gates_h // 4
     block_t = _pick_block_t(seq_len, groups, batch, hidden)
     pad_t = (-seq_len) % block_t
-    if pad_t:
-        x_proj = jnp.pad(x_proj, ((0, pad_t), (0, 0), (0, 0), (0, 0)))
-    lengths_col = lengths_f.reshape(batch, 1)
-    return x_proj, lengths_col, block_t, seq_len
+    # sublane alignment for [B, ...] VMEM tiles, same as the inference
+    # kernels (pallas_rnn.py); padded rows carry length 0 -> frozen at the
+    # zero init, zero output, zero gradient
+    pad_b = (-batch) % 8
+    if pad_t or pad_b:
+        x_proj = jnp.pad(x_proj, ((0, pad_t), (0, 0), (0, pad_b), (0, 0)))
+    if pad_b:
+        lengths_f = jnp.pad(lengths_f, (0, pad_b))
+    lengths_col = lengths_f.reshape(batch + pad_b, 1)
+    return x_proj, lengths_col, block_t, seq_len, batch
 
 
 def _core_fwd(x_proj, w_hh, b_hh, lengths_f):
-    x_pad, lengths_col, block_t, seq_len = _prep(x_proj, lengths_f)
+    x_pad, lengths_col, block_t, seq_len, batch = _prep(x_proj, lengths_f)
     out, gates, hprev, cprev = _lstm_core_fwd_kernels(
         x_pad.astype(jnp.float32),
         w_hh.astype(jnp.float32),
@@ -305,21 +311,26 @@ def _core_fwd(x_proj, w_hh, b_hh, lengths_f):
         lengths_col,
         block_t,
     )
-    return out, (gates, hprev, cprev, w_hh, lengths_col, block_t, seq_len)
+    out = out[:, :batch]
+    return out, (gates, hprev, cprev, w_hh, lengths_col, block_t, seq_len, batch)
 
 
 def _core_bwd(res, dh_out):
-    gates, hprev, cprev, w_hh, lengths_col, block_t, seq_len = res
+    gates, hprev, cprev, w_hh, lengths_col, block_t, seq_len, batch = res
+    pad_b = lengths_col.shape[0] - batch
+    dh_pad = dh_out.astype(jnp.float32)
+    if pad_b:
+        dh_pad = jnp.pad(dh_pad, ((0, 0), (0, pad_b), (0, 0)))
     dx_pad = _lstm_core_bwd_kernels(
         gates, hprev, cprev, w_hh.astype(jnp.float32), lengths_col,
-        dh_out.astype(jnp.float32), block_t,
+        dh_pad, block_t,
     )
-    # weight/bias grads as ONE large MXU einsum each (padded steps have
+    # weight/bias grads as ONE large MXU einsum each (padded steps/rows have
     # dz == 0, so they contribute nothing)
     dw_hh = jnp.einsum("tgbh,tgbk->ghk", hprev, dx_pad)
     db_hh = jnp.sum(dx_pad, axis=(0, 2))
-    dx = dx_pad[:seq_len]
-    return dx, dw_hh, db_hh, jnp.zeros_like(lengths_col[:, 0])
+    dx = dx_pad[:seq_len, :, :batch]
+    return dx, dw_hh, db_hh, jnp.zeros((batch,), lengths_col.dtype)
 
 
 _core.defvjp(_core_fwd, _core_bwd)
@@ -542,18 +553,22 @@ def _gru_prep(x_proj, lengths_f):
     hidden = gates_h // 3
     # same VMEM-budget heuristic as the LSTM pair (gates bytes per step);
     # non-divisible seq_len is padded below (padded steps sit beyond every
-    # row's length -> frozen, zero-gradient)
+    # row's length -> frozen, zero-gradient), and the batch pads to the
+    # 8-row sublane tile like the inference kernels (length-0 pad rows)
     per_step = groups * batch * 3 * hidden * 4
     block_t = max(1, min(8, (2 << 20) // max(1, per_step)))
     pad_t = (-seq_len) % block_t
-    if pad_t:
-        x_proj = jnp.pad(x_proj, ((0, pad_t), (0, 0), (0, 0), (0, 0)))
-    lengths_col = lengths_f.reshape(batch, 1)
-    return x_proj, lengths_col, block_t, seq_len
+    pad_b = (-batch) % 8
+    if pad_t or pad_b:
+        x_proj = jnp.pad(x_proj, ((0, pad_t), (0, 0), (0, pad_b), (0, 0)))
+    if pad_b:
+        lengths_f = jnp.pad(lengths_f, (0, pad_b))
+    lengths_col = lengths_f.reshape(batch + pad_b, 1)
+    return x_proj, lengths_col, block_t, seq_len, batch
 
 
 def _gru_core_fwd(x_proj, w_hh, b_hh, lengths_f):
-    x_pad, lengths_col, block_t, seq_len = _gru_prep(x_proj, lengths_f)
+    x_pad, lengths_col, block_t, seq_len, batch = _gru_prep(x_proj, lengths_f)
     out, gates, hprev, hn = _gru_core_fwd_kernels(
         x_pad.astype(jnp.float32),
         w_hh.astype(jnp.float32),
@@ -561,18 +576,23 @@ def _gru_core_fwd(x_proj, w_hh, b_hh, lengths_f):
         lengths_col,
         block_t,
     )
-    return out, (gates, hprev, hn, w_hh, lengths_col, block_t, seq_len)
+    out = out[:, :batch]
+    return out, (gates, hprev, hn, w_hh, lengths_col, block_t, seq_len, batch)
 
 
 def _gru_core_bwd(res, dh_out):
-    gates, hprev, hn, w_hh, lengths_col, block_t, seq_len = res
+    gates, hprev, hn, w_hh, lengths_col, block_t, seq_len, batch = res
     hidden = hn.shape[-1]
+    pad_b = lengths_col.shape[0] - batch
+    dh_pad = dh_out.astype(jnp.float32)
+    if pad_b:
+        dh_pad = jnp.pad(dh_pad, ((0, 0), (0, pad_b), (0, 0)))
     dx_pad = _gru_core_bwd_kernels(
         gates, hprev, hn, w_hh.astype(jnp.float32), lengths_col,
-        dh_out.astype(jnp.float32), block_t,
+        dh_pad, block_t,
     )
     # hidden-path cotangent: same as dx except the candidate slot carries an
-    # extra reset-gate factor (n = tanh(xn + r * hn)); padded steps have
+    # extra reset-gate factor (n = tanh(xn + r * hn)); padded steps/rows have
     # dx == 0 so they contribute nothing
     r = gates[..., :hidden]
     dhp = jnp.concatenate(
@@ -580,8 +600,8 @@ def _gru_core_bwd(res, dh_out):
     )
     dw_hh = jnp.einsum("tgbh,tgbk->ghk", hprev, dhp)
     db_hh = jnp.sum(dhp, axis=(0, 2))
-    dx = dx_pad[:seq_len]
-    return dx, dw_hh, db_hh, jnp.zeros_like(lengths_col[:, 0])
+    dx = dx_pad[:seq_len, :, :batch]
+    return dx, dw_hh, db_hh, jnp.zeros((batch,), lengths_col.dtype)
 
 
 _gru_core.defvjp(_gru_core_fwd, _gru_core_bwd)
