@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.masked import adaptive_gate_weights, masked_softmax
+from ..ops.masked import adaptive_gate_weights, mask_renormalize, masked_softmax
 from .attention import StackedPairAttention, ordered_pairs
 
 
@@ -139,9 +139,9 @@ class LateFusion(nn.Module):
         weight_logits = self.param("weight_logits", nn.initializers.zeros, (num_mod,))
         base_weights = jax.nn.softmax(weight_logits)
         weights = base_weights[None, :] * modality_mask
-        weight_sums = jnp.sum(weights, axis=1, keepdims=True)
-        uniform = jnp.full_like(weights, 1.0 / num_mod)
-        normalized = jnp.where(weight_sums > 0, weights / (weight_sums + 1e-8), uniform)
+        normalized = mask_renormalize(
+            weights, modality_mask, num_mod, fallback="uniform", axis=1
+        )
         fused_logits = jnp.sum(stacked_logits * normalized[..., None], axis=1)
         return fused_logits, per_modality_logits
 
@@ -218,16 +218,9 @@ class UncertaintyFusion(nn.Module):
 
         stacked_logits = jnp.stack(stack, axis=1)  # (B, M, C)
         inv_var = jnp.exp(-jnp.stack(log_vars, axis=1))  # (B, M)
-        weighted = inv_var * modality_mask
-        weight_sums = jnp.sum(weighted, axis=1, keepdims=True)
-        mask_sum = jnp.sum(modality_mask, axis=1, keepdims=True)
-        fallback = jnp.where(
-            mask_sum > 0,
-            modality_mask / (mask_sum + 1e-8),
-            jnp.full_like(modality_mask, 1.0 / num_mod),
-        )
-        weights = jnp.where(
-            weight_sums > 0, weighted / (weight_sums + 1e-8), fallback
+        weights = mask_renormalize(
+            inv_var * modality_mask, modality_mask, num_mod,
+            fallback="proportional", axis=1,
         )
         fused_logits = jnp.sum(stacked_logits * weights[..., None], axis=1)
         return fused_logits, per_modality_logits

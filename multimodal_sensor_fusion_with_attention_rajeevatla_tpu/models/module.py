@@ -89,6 +89,12 @@ class MultimodalFusionModel(nn.Module):
             for cfg in configs.values():
                 cfg.setdefault("dtype", jnp.bfloat16)
         self._grouped_names = []
+        # per-modality input dims, needed to zero-fill a MISSING grouped
+        # modality with its own feature width (not the template's)
+        self._grouped_dims = {
+            n: int(configs.get(n, {}).get("input_dim", 64) or 64)
+            for n in self.modalities
+        }
         if self.grouped_encoders:
             names, shared = groupable_modalities(self.modalities, configs)
             if names:
@@ -165,7 +171,10 @@ class MultimodalFusionModel(nn.Module):
         grouped_present = [n for n in self._grouped_names if n in features]
         if grouped_present and len(grouped_present) == len(self._grouped_names):
             stacked = stack_group_features(features, grouped_present)
-            group_out = self.grouped_encoder(stacked, lengths=lengths, train=train)
+            # grouped members share one time axis; rescale lengths from the
+            # reference timebase like every per-modality encoder call does
+            grp_lengths = self._scale_lengths(lengths, ref_len, int(stacked.shape[2]))
+            group_out = self.grouped_encoder(stacked, lengths=grp_lengths, train=train)
             for i, name in enumerate(grouped_present):
                 emb = group_out[i]
                 if self.layer_norm:
@@ -173,14 +182,23 @@ class MultimodalFusionModel(nn.Module):
                 encoded[name] = emb
         elif grouped_present:
             # partial availability: fall back to a stacked call with the
-            # missing members zero-filled (their outputs are discarded)
+            # missing members zero-filled at their OWN feature width (their
+            # outputs are discarded; zero-filling with the template's width
+            # would change the group's d_max and break the packed weights)
             template = features[grouped_present[0]]
             full = {
-                n: features.get(n, jnp.zeros_like(template))
+                n: features.get(
+                    n,
+                    jnp.zeros(
+                        template.shape[:2] + (self._grouped_dims[n],),
+                        template.dtype,
+                    ),
+                )
                 for n in self._grouped_names
             }
             stacked = stack_group_features(full, self._grouped_names)
-            group_out = self.grouped_encoder(stacked, lengths=lengths, train=train)
+            grp_lengths = self._scale_lengths(lengths, ref_len, int(stacked.shape[2]))
+            group_out = self.grouped_encoder(stacked, lengths=grp_lengths, train=train)
             for i, name in enumerate(self._grouped_names):
                 if name not in features:
                     continue
@@ -290,7 +308,10 @@ class MultimodalFusionModel(nn.Module):
             num_heads=int(model_cfg.get("num_heads", 4)),
             num_classes=int(dataset_cfg.get("num_classes", 11)),
             dropout=float(model_cfg.get("dropout", 0.1)),
-            layer_norm=bool(model_cfg.get("layer_norm", False)),
+            # default MUST match the class attribute default (True): the same
+            # config dict must build the same param tree through either
+            # construction path, or checkpoints fail to restore
+            layer_norm=bool(model_cfg.get("layer_norm", True)),
             grouped_encoders=bool(model_cfg.get("grouped_encoders", True)),
             pallas_rnn=bool(pallas_rnn),
             mixed_precision=bool(config.get("mixed_precision", False)),

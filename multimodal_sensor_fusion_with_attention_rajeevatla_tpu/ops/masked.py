@@ -74,14 +74,39 @@ def adaptive_gate_weights(
     mask = mask.astype(scores.dtype)
     weights = masked_softmax(scores, (mask > 0).astype(mask.dtype), axis=axis)
     weights = weights * mask
-    sum_weights = jnp.sum(weights, axis=axis, keepdims=True)
-    mask_sum = jnp.sum(mask, axis=axis, keepdims=True)
-    fallback = jnp.where(
-        mask_sum > 0,
-        mask / (mask_sum + 1e-8),
-        jnp.full_like(mask, 1.0 / num_modalities),
+    return mask_renormalize(
+        weights, mask, num_modalities, fallback="proportional", axis=axis
     )
-    return jnp.where(sum_weights > 0, weights / (sum_weights + 1e-8), fallback)
+
+
+def mask_renormalize(
+    weights: jax.Array,  # [..., M] non-negative raw weights (already masked)
+    mask: jax.Array,     # [..., M] {0,1} availability mask
+    num_modalities: int,
+    fallback: str = "proportional",
+    axis: int = -1,
+) -> jax.Array:
+    """Renormalise masked weights with the reference's zero-row fallbacks.
+
+    ``fallback="uniform"``: zero-sum rows get ``1/M`` everywhere (LateFusion,
+    reference ``src/fusion.py:237-240``). ``fallback="proportional"``:
+    zero-sum rows get mask-proportional weights, then uniform when the mask
+    itself is all-zero (HybridFusion/UncertaintyFusion,
+    ``src/fusion.py:464-479``). One implementation; the exact-value tests
+    pin both behaviors.
+    """
+    sums = jnp.sum(weights, axis=axis, keepdims=True)
+    if fallback == "uniform":
+        fb = jnp.full_like(weights, 1.0 / num_modalities)
+    else:
+        mask = mask.astype(weights.dtype)
+        mask_sum = jnp.sum(mask, axis=axis, keepdims=True)
+        fb = jnp.where(
+            mask_sum > 0,
+            mask / (mask_sum + 1e-8),
+            jnp.full_like(mask, 1.0 / num_modalities),
+        )
+    return jnp.where(sums > 0, weights / (sums + 1e-8), fb)
 
 
 def masked_mean_pool(

@@ -327,19 +327,31 @@ class Trainer:
         a device-side roll + length shrink so shapes stay static.
         """
         first = next(iter(features.values()))
-        batch, seq_len = first.shape[0], first.shape[1]
-        max_shift = int(self.temporal_jitter * seq_len)
-        if max_shift <= 0:
+        batch, ref_len = first.shape[0], first.shape[1]
+        if int(self.temporal_jitter * ref_len) <= 0:
             return features, lengths
-        shift = jax.random.randint(rng, (batch,), 0, max_shift + 1)
-        gather_t = (jnp.arange(seq_len)[None, :] + shift[:, None]) % seq_len
+        # one per-sample shift FRACTION, applied per modality in its own
+        # timebase (mixed-rate modalities have different T; a single
+        # step-count shift would fail to broadcast / desynchronise streams)
+        frac = jax.random.uniform(rng, (batch,)) * self.temporal_jitter
 
         def roll(x):
-            idx = gather_t.reshape(batch, seq_len, *([1] * (x.ndim - 2)))
+            if x.ndim < 3:
+                return x
+            t = x.shape[1]
+            shift = jnp.floor(frac * t).astype(jnp.int32)  # [B]
+            gather_t = (jnp.arange(t)[None, :] + shift[:, None]) % t
+            idx = gather_t.reshape(batch, t, *([1] * (x.ndim - 2)))
             return jnp.take_along_axis(x, jnp.broadcast_to(idx, x.shape), axis=1)
 
         jittered = {m: roll(v) for m, v in features.items()}
-        new_lengths = jnp.maximum(lengths - shift, 1) if lengths is not None else None
+        # lengths stay in the REFERENCE timebase (encoders rescale per
+        # modality); shrink by the reference-step shift
+        if lengths is not None:
+            ref_shift = jnp.floor(frac * ref_len).astype(jnp.int32)
+            new_lengths = jnp.maximum(lengths - ref_shift, 1)
+        else:
+            new_lengths = None
         return jittered, new_lengths
 
     def _dropout_modality_mask(self, rng, batch: int, num_mod: int):
@@ -620,8 +632,16 @@ class Trainer:
 
             val_logits = self.evaluate_logits(self.variables(state), val_data)
             val_labels = np.asarray(val_windows.labels)
+            # same criterion as training (incl. label smoothing) — the
+            # reference's LightningModule monitors val/loss through its one
+            # smoothed criterion (src/train.py:185-186,329-340), and early
+            # stopping / checkpoint ranking must rank by the same objective
             val_loss = float(
-                cross_entropy_loss(jnp.asarray(val_logits), jnp.asarray(val_labels))
+                cross_entropy_loss(
+                    jnp.asarray(val_logits),
+                    jnp.asarray(val_labels),
+                    label_smoothing=self.label_smoothing,
+                )
             )
             val_acc = float((val_logits.argmax(-1) == val_labels).mean())
 

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .ops.masked import mask_renormalize
 from .ops.metrics import (
     expected_calibration_error,
     maximum_calibration_error,
@@ -240,14 +241,10 @@ def uncertainty_weighted_fusion(
     logits_tensor = jnp.concatenate(logits_stack, axis=1)  # (B, M, C)
     raw_weights = jnp.concatenate(weight_list, axis=1)  # (B, M)
     weighted = raw_weights * mask
-
-    weight_sums = jnp.sum(weighted, axis=1, keepdims=True)
-    mask_sum = jnp.sum(mask, axis=1, keepdims=True)
-    fallback = jnp.where(
-        mask_sum > 0, mask / (mask_sum + 1e-8), jnp.full_like(mask, 1.0 / num_mod)
-    )
-    fusion_weights = jnp.where(
-        weight_sums > 0, weighted / (weight_sums + 1e-8), fallback
+    # the shared zero-row fallback contract (ops/masked.py): mask-
+    # proportional, then uniform when the mask itself is all-zero
+    fusion_weights = mask_renormalize(
+        weighted, mask, num_mod, fallback="proportional", axis=1
     )
     fused_logits = jnp.sum(logits_tensor * fusion_weights[..., None], axis=1)
     return fused_logits, fusion_weights

@@ -15,6 +15,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
+#include <string>
 #include <thread>
 #include <vector>
 
@@ -100,7 +101,7 @@ long pamap2_count_rows(const char* path) {
   while (p < end) {
     const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
     if (!nl) {
-      if (end - p > 1) ++rows;  // final unterminated line
+      if (end - p > 0) ++rows;  // final unterminated line (even 1 char)
       break;
     }
     ++rows;
@@ -136,6 +137,15 @@ long pamap2_parse(const char* path, float* out, long max_rows, int n_cols,
   if (workers < 1) workers = 1;
   if (workers > rows) workers = (int)rows > 0 ? (int)rows : 1;
 
+  // strtof scans a NUL-terminated C string: when the file ends mid-number
+  // with no trailing newline AND the size is an exact multiple of the page
+  // size, scanning past `end` would walk off the mapping (SIGSEGV). Copy an
+  // unterminated final line into a NUL-terminated buffer and parse that.
+  std::string last_line_buf;
+  if (rows > 0 && end > m.data && end[-1] != '\n') {
+    last_line_buf.assign(lines[rows - 1], end - lines[rows - 1]);
+  }
+
   std::vector<long> bad(workers, 0);
   auto work = [&](int w) {
     long lo = rows * w / workers;
@@ -144,6 +154,10 @@ long pamap2_parse(const char* path, float* out, long max_rows, int n_cols,
       const char* line = lines[r];
       const char* line_end =
           (r + 1 < rows) ? lines[r + 1] : end;
+      if (r == rows - 1 && !last_line_buf.empty()) {
+        line = last_line_buf.c_str();
+        line_end = line + last_line_buf.size();
+      }
       int got = parse_line(line, line_end, out + r * n_cols, n_cols);
       for (int c = got; c < n_cols; ++c) out[r * n_cols + c] = NAN;
       if (strict && got != n_cols) ++bad[w];

@@ -216,3 +216,100 @@ def test_multilayer_grouped_matches_individual(cell):
     np.testing.assert_allclose(
         np.asarray(got[1]), np.asarray(enc_b.apply(vb, x_b)), rtol=3e-5, atol=1e-6
     )
+
+
+def test_module_partial_grouped_mixed_dims(tiny_model_cfg):
+    """A MISSING grouped modality is zero-filled at its OWN feature width —
+    mixed-dim groups (17 + 1, the PAMAP2 lstm config) must not break when
+    one modality's features are absent from the batch dict."""
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.models.module import (
+        MultimodalFusionModel,
+    )
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.utils.config import (
+        ConfigNode,
+    )
+
+    cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+    cfg.set_dotted(
+        "model.encoders",
+        {
+            "sensor1": {"type": "sequence", "encoder_type": "lstm",
+                        "input_dim": 17, "num_layers": 1},
+            "sensor2": {"type": "sequence", "encoder_type": "lstm",
+                        "input_dim": 1, "num_layers": 1},
+        },
+    )
+    model = MultimodalFusionModel.from_config(cfg)
+    rng = jax.random.PRNGKey(0)
+    full = {"sensor1": jnp.ones((2, 6, 17)), "sensor2": jnp.ones((2, 6, 1))}
+    variables = model.init({"params": rng, "dropout": rng}, full)
+
+    # drop the WIDE modality: the zero-fill must use D=17, not sensor2's D=1
+    # (the fusion forward requires every key by contract, so the partial
+    # path is exercised through encode)
+    enc = model.apply(
+        variables, {"sensor2": full["sensor2"]},
+        method=MultimodalFusionModel.encode,
+    )
+    assert set(enc) == {"sensor2"}
+    assert np.all(np.isfinite(np.asarray(enc["sensor2"])))
+
+    # drop the NARROW modality too (template is the wide one)
+    enc = model.apply(
+        variables, {"sensor1": full["sensor1"]},
+        method=MultimodalFusionModel.encode,
+    )
+    assert set(enc) == {"sensor1"}
+    assert np.all(np.isfinite(np.asarray(enc["sensor1"])))
+
+
+def test_module_grouped_lengths_rescaled_from_ref_timebase(tiny_model_cfg):
+    """Grouped RNNs get lengths rescaled into the group's OWN time axis when
+    the reference (first) modality has a different T (mixed-rate layout)."""
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.models.module import (
+        MultimodalFusionModel,
+    )
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.utils.config import (
+        ConfigNode,
+    )
+
+    cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+    cfg.set_dotted("dataset.modalities", ["video", "imu", "audio"])
+    cfg.set_dotted(
+        "model.encoders",
+        {
+            "video": {"type": "frame", "input_dim": 4},
+            "imu": {"type": "sequence", "encoder_type": "gru",
+                    "input_dim": 3, "num_layers": 1},
+            "audio": {"type": "sequence", "encoder_type": "gru",
+                      "input_dim": 5, "num_layers": 1},
+        },
+    )
+    model = MultimodalFusionModel.from_config(cfg)
+    assert model is not None
+    rng = jax.random.PRNGKey(1)
+    B, T_ref, T_grp = 2, 10, 40
+    feats = {
+        "video": jnp.ones((B, T_ref, 4)),
+        "imu": jax.random.normal(rng, (B, T_grp, 3)),
+        "audio": jax.random.normal(rng, (B, T_grp, 5)),
+    }
+    variables = model.init({"params": rng, "dropout": rng}, feats)
+    lengths = jnp.asarray([5, 10], jnp.int32)  # in the video (ref) timebase
+
+    enc_full = model.apply(
+        variables, feats, lengths, method=MultimodalFusionModel.encode
+    )
+    # rows frozen at the rescaled step: encoding row 0 with only its valid
+    # prefix (5/10 -> 20/40 steps) must equal encoding the truncated stream
+    feats_trunc = dict(feats)
+    feats_trunc["imu"] = feats["imu"].at[0, 20:].set(123.0)  # past valid end
+    feats_trunc["audio"] = feats["audio"].at[0, 20:].set(-55.0)
+    enc_trunc = model.apply(
+        variables, feats_trunc, lengths, method=MultimodalFusionModel.encode
+    )
+    for m in ("imu", "audio"):
+        np.testing.assert_allclose(
+            np.asarray(enc_full[m][0]), np.asarray(enc_trunc[m][0]),
+            rtol=1e-5, atol=1e-6,
+        )

@@ -108,3 +108,16 @@ def test_dataset_native_path_equals_fallback(tmp_path, monkeypatch):
     for m in mods:
         np.testing.assert_allclose(native.features[m], fallback.features[m])
     np.testing.assert_array_equal(native.labels, fallback.labels)
+
+
+def test_unterminated_final_line(tmp_path):
+    """A final line with no trailing newline — even a single character — is
+    parsed as a row (count off-by-one regression) and parsing an
+    unterminated numeric tail never scans past the mapping."""
+    path = tmp_path / "tail.dat"
+    path.write_text("1.0 2.0\n3.0 4.0\n5")  # last row: one char, no newline
+    rows = parse_dat(path, n_cols=2)
+    assert rows.shape == (3, 2)
+    np.testing.assert_allclose(rows[0], [1.0, 2.0])
+    np.testing.assert_allclose(rows[1], [3.0, 4.0])
+    assert rows[2, 0] == 5.0 and np.isnan(rows[2, 1])
