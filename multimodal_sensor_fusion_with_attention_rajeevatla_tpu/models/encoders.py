@@ -144,6 +144,59 @@ class _RNNStack(nn.Module):
         return final_state  # [B, H] — last layer's final hidden state
 
 
+class _MaskedBatchNorm(nn.Module):
+    """BatchNorm over ``[B, T, C]`` whose batch statistics weight only the
+    VALID timesteps (``mask [B, T]``), so zero-padded window tails cannot
+    drag the train-mode normalisation or the running stats used at eval.
+
+    Param/variable tree matches ``nn.BatchNorm`` (scale/bias +
+    batch_stats.mean/var), so checkpoints restore across the swap.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B, T, C]
+        mask: Optional[jax.Array] = None,  # [B, T], 1 = valid
+        use_running_average: bool = False,
+    ) -> jax.Array:
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+        )
+        xf = x.astype(jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            if mask is None:
+                mean = jnp.mean(xf, axis=(0, 1))
+                var = jnp.mean(jnp.square(xf - mean), axis=(0, 1))
+            else:
+                w = mask.astype(jnp.float32)[..., None]  # [B, T, 1]
+                denom = jnp.maximum(jnp.sum(w), 1.0)
+                mean = jnp.sum(xf * w, axis=(0, 1)) / denom
+                var = jnp.sum(w * jnp.square(xf - mean), axis=(0, 1)) / denom
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1.0 - self.momentum) * var
+                )
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(x.dtype)
+
+
 class _TransformerEncoderLayer(nn.Module):
     """Post-LN transformer encoder layer (torch ``TransformerEncoderLayer``)."""
 
@@ -277,21 +330,27 @@ class SequenceEncoder(nn.Module):
             return nn.Dense(self.output_dim, name="projection")(drop(final_state))
 
         if self.encoder_type == "cnn":
+            mask = lengths_to_mask(lengths, seq_len) if lengths is not None else None
             x = sequence
+            if mask is not None:
+                # zero the padded tail up front: the 3-wide SAME conv reads
+                # one step past each boundary, so whatever sits in the pad
+                # region would bleed into the last valid step
+                x = x * mask[..., None].astype(x.dtype)
             for idx in range(2):
                 x = nn.Conv(
                     self.hidden_dim, kernel_size=(3,), padding="SAME",
                     name=f"conv{idx}", dtype=self.dtype,
                 )(x)
-                x = nn.BatchNorm(
-                    use_running_average=not train,
-                    momentum=0.9,
-                    epsilon=1e-5,
-                    name=f"bn{idx}",
-                    dtype=self.dtype,
-                )(x)
+                # batch statistics over VALID timesteps only, and re-zero
+                # the padded tail after each block so conv bias/bleed from
+                # padding cannot pollute stats or pooling
+                x = _MaskedBatchNorm(
+                    momentum=0.9, epsilon=1e-5, name=f"bn{idx}", dtype=self.dtype
+                )(x, mask=mask, use_running_average=not train)
                 x = nn.relu(x)
-            mask = lengths_to_mask(lengths, seq_len) if lengths is not None else None
+                if mask is not None:
+                    x = x * mask[..., None].astype(x.dtype)
             pooled = masked_mean_pool(x, mask, axis=1, min_denom=1.0)
             return nn.Dense(self.output_dim, name="projection", dtype=self.dtype)(
                 drop(pooled)

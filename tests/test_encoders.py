@@ -201,3 +201,34 @@ class TestBuildEncoder:
         assert enc.encoder_type == "gru"
         assert enc.num_layers == 3
         assert enc.hidden_dim == 12
+
+
+class TestMaskedBatchNormCNN:
+    def test_padding_cannot_pollute_cnn_stats(self):
+        """CNN batch statistics weight only valid timesteps: mutating the
+        padded tail must not change train-mode outputs for valid rows."""
+        import jax
+
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.models.encoders import (
+            SequenceEncoder,
+        )
+
+        enc = SequenceEncoder(
+            hidden_dim=16, output_dim=8, encoder_type="cnn", dropout=0.0,
+        )
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.normal(rng, (4, 20, 6))
+        lengths = jnp.asarray([20, 9, 5, 14], jnp.int32)
+        variables = enc.init({"params": rng, "dropout": rng}, x, lengths)
+
+        def run(xx):
+            out, _ = enc.apply(
+                variables, xx, lengths, train=True,
+                rngs={"dropout": rng}, mutable=["batch_stats"],
+            )
+            return np.asarray(out)
+
+        base = run(x)
+        # poison the padded tails; valid-region outputs must be identical
+        poisoned = x.at[1, 9:].set(1e3).at[2, 5:].set(-1e3)
+        np.testing.assert_allclose(run(poisoned), base, rtol=1e-5, atol=1e-5)
