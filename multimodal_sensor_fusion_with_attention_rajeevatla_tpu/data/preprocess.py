@@ -22,7 +22,6 @@ into the native ``.npz`` store.
 
 from __future__ import annotations
 
-import csv
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -71,6 +70,20 @@ def load_subject_file(path: Path) -> np.ndarray:
 
     native = parse_dat(path, len(PAMAP2_COLUMNS))
     if native is not None:
+        # align with the numpy fallback's behavior on malformed input:
+        # drop all-NaN rows (blank lines — np.loadtxt skips those) and
+        # hard-error on rows whose activity_id failed to parse (np.loadtxt
+        # raises on ragged/garbage lines; a NaN activity_id would otherwise
+        # survive the != 0 filter and crash sharding later)
+        blank = np.all(np.isnan(native), axis=1)
+        if blank.any():
+            native = native[~blank]
+        if np.isnan(native[:, 1]).any():
+            bad = int(np.isnan(native[:, 1]).sum())
+            raise ValueError(
+                f"{path}: {bad} row(s) with unparseable activity_id "
+                "(malformed line in raw .dat)"
+            )
         return native
     rows = np.loadtxt(path, dtype=np.float32, ndmin=2)
     if rows.shape[1] != len(PAMAP2_COLUMNS):
@@ -168,13 +181,13 @@ def _materialize_shards(
             if write_csv:
                 csv_path = csv_root / f"{name}.csv"
                 csv_path.parent.mkdir(parents=True, exist_ok=True)
-                with csv_path.open("w", newline="") as handle:
-                    writer = csv.writer(handle)
-                    writer.writerow(PAMAP2_COLUMNS)
-                    for row in rows:
-                        formatted = [f"{v:.6f}" for v in row]
-                        validate_row_width(formatted, csv_path)
-                        writer.writerow(formatted)
+                # vectorised write: rows come from a dense [N, 54] array so
+                # per-row width validation is vacuous, and a Python loop
+                # over millions of rows dominates the whole ETL
+                np.savetxt(
+                    csv_path, rows, fmt="%.6f", delimiter=",",
+                    header=",".join(PAMAP2_COLUMNS), comments="",
+                )
             shards.append((shard_rel, int(rows.shape[0])))
     return shards
 
@@ -262,7 +275,12 @@ def write_split_manifests(
         manifest = splits_dir / f"{split}.txt"
         with manifest.open("w", encoding="utf-8") as handle:
             for rel, rows in sorted(items):
-                handle.write(f"data/{rel},{rows}\n")
+                # entries are OUTPUT-ROOT-relative (the dataset resolver's
+                # default root is data_dir): a hard-coded "data/" prefix
+                # only resolves when the output root is literally named
+                # "data" (reference manifests carry the prefix because they
+                # are repo-root-relative; the resolver supports both forms)
+                handle.write(f"{rel},{rows}\n")
         paths[split] = manifest
     return paths
 

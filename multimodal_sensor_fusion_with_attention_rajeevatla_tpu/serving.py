@@ -56,6 +56,15 @@ def make_serving_fn(
             variables, features, lengths,
             method=MultimodalFusionModel.encode,
         )
+        # a modality absent from the batch dict contributes a zero embedding
+        # (the mask governs its weight) — same contract as the XLA head,
+        # which tolerates missing keys
+        for name in modalities:
+            if name not in encoded:
+                encoded = dict(encoded)
+                encoded[name] = jnp.zeros(
+                    (batch, model.output_dim), jnp.float32
+                )
         return hybrid_fused_inference(
             variables, encoded, mask, modalities, interpret=interpret
         )

@@ -83,8 +83,18 @@ def main(argv=None):
         print(f"=== training ensemble member {k+1}/{args.num_models} (seed {seed}) ===",
               flush=True)
         trainer = Trainer(config)
-        trainer.fit(train_w, val_w, log_fn=None)
-        variables = trainer.variables(trainer._final_state)
+        member_results = trainer.fit(train_w, val_w, log_fn=None)
+        # evaluate the BEST-val checkpoint (what ships), not the last-epoch
+        # state — with early stopping the final epochs can be overfit
+        best_path = member_results.get("best_model_path")
+        if best_path:
+            from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.train.checkpoint import (
+                load_checkpoint,
+            )
+
+            variables, _cfg, _meta = load_checkpoint(best_path)
+        else:
+            variables = trainer.variables(trainer._final_state)
         logits = forward_all(trainer.model, variables, test_data, batch_size)
         member_logits.append(logits)
         member_metrics.append(compute_calibration_metrics(logits=logits, labels=labels))
