@@ -183,7 +183,7 @@ def plot_calibration_diagram(
     save_path: Path | str = Path("analysis/calibration.png"),
 ) -> None:
     """Reliability diagram + confidence histogram with inline ECE."""
-    from .ops.metrics import expected_calibration_error
+    from .ops.metrics import _bin_stats, expected_calibration_error
 
     confidences = np.asarray(confidences)
     predictions = np.asarray(predictions)
@@ -191,12 +191,11 @@ def plot_calibration_diagram(
 
     bin_edges = np.linspace(0, 1, num_bins + 1)
     centers = (bin_edges[:-1] + bin_edges[1:]) / 2
-    bin_ids = np.clip(np.floor(confidences * num_bins).astype(int), 0, num_bins - 1)
-    counts = np.bincount(bin_ids, minlength=num_bins)
-    correct = (predictions == labels).astype(float)
-    acc = np.zeros(num_bins)
-    nz = counts > 0
-    acc[nz] = np.bincount(bin_ids, weights=correct, minlength=num_bins)[nz] / counts[nz]
+    # the SAME binning as the ECE computation (ops/metrics.py) — the plotted
+    # per-bin accuracies and the printed ECE can never disagree
+    _counts, _avg_conf, acc, _nz = _bin_stats(
+        confidences, predictions, labels, num_bins
+    )
 
     ece = expected_calibration_error(confidences, predictions, labels, num_bins)
 
