@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.masked import lengths_to_mask, masked_mean_pool, masked_softmax, nan_to_num
+from ..ops.pallas_mlp import dense_params_init, transformer_ffw
+from ..ops.prng import PackedDropout, bernoulli_packed, realized_keep_prob
 
 
 def _uniform(scale: float):
@@ -213,6 +215,12 @@ class _TransformerEncoderLayer(nn.Module):
     # on NEITHER path (backend-independent training semantics); residual/ffn
     # dropouts carry the regularisation.
     use_flash: bool = False
+    # fused feed-forward (Dense -> ReLU -> dropout -> Dense) Pallas kernel
+    # pair (ops/pallas_mlp.py): the [B*T, dim_feedforward] hidden activation
+    # never reaches HBM in either pass. Both paths draw the SAME dropout
+    # keep-mask from the 'dropout' rng stream, so training stochasticity is
+    # independent of which backend resolved ``fused_mlp: auto``.
+    use_fused_mlp: bool = False
 
     @nn.compact
     def __call__(
@@ -224,12 +232,21 @@ class _TransformerEncoderLayer(nn.Module):
         head_dim = self.hidden_dim // self.num_heads
         batch, seq_len, _ = x.shape
 
-        def proj(name):
-            return nn.Dense(self.hidden_dim, name=name, dtype=self.dtype)
-
-        q = proj("q_proj")(x).reshape(batch, seq_len, self.num_heads, head_dim)
-        k = proj("k_proj")(x).reshape(batch, seq_len, self.num_heads, head_dim)
-        v = proj("v_proj")(x).reshape(batch, seq_len, self.num_heads, head_dim)
+        # q/k/v params keep their separate nn.Dense checkpoint names, but the
+        # projections run as ONE [H, 3H] matmul: x is read from HBM once
+        # instead of three times and the MXU gets one big dot per layer
+        pq = self.param("q_proj", dense_params_init(self.hidden_dim, self.hidden_dim))
+        pk = self.param("k_proj", dense_params_init(self.hidden_dim, self.hidden_dim))
+        pv = self.param("v_proj", dense_params_init(self.hidden_dim, self.hidden_dim))
+        cd = self.dtype or x.dtype
+        w_qkv = jnp.concatenate(
+            [pq["kernel"], pk["kernel"], pv["kernel"]], axis=1
+        ).astype(cd)
+        b_qkv = jnp.concatenate([pq["bias"], pk["bias"], pv["bias"]]).astype(cd)
+        qkv = (x.astype(cd) @ w_qkv + b_qkv).reshape(
+            batch, seq_len, 3, self.num_heads, head_dim
+        )
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         if self.use_flash:
             from ..ops.pallas_attention import flash_self_attention
 
@@ -269,15 +286,45 @@ class _TransformerEncoderLayer(nn.Module):
                 batch, seq_len, self.hidden_dim
             )
         attended = nn.Dense(self.hidden_dim, name="out_proj", dtype=self.dtype)(attended)
+        # residual dropouts use packed threefry masks too (~20% of the
+        # layer's dropout bits; same determinism guarantees as nn.Dropout)
         x = nn.LayerNorm(name="norm1", dtype=self.dtype)(
-            x + nn.Dropout(self.dropout, deterministic=not train)(attended)
+            x + PackedDropout(self.dropout)(attended, deterministic=not train)
         )
-        ff = nn.Dense(self.dim_feedforward, name="linear1", dtype=self.dtype)(x)
-        ff = nn.relu(ff)
-        ff = nn.Dropout(self.dropout, deterministic=not train)(ff)
-        ff = nn.Dense(self.hidden_dim, name="linear2", dtype=self.dtype)(ff)
+        # feed-forward block: dict-valued params keep the exact nn.Dense
+        # checkpoint tree (params['linear1']['kernel'|'bias']) while letting
+        # the fused Pallas kernel consume the raw weights
+        p1 = self.param(
+            "linear1", dense_params_init(self.hidden_dim, self.dim_feedforward)
+        )
+        p2 = self.param(
+            "linear2", dense_params_init(self.dim_feedforward, self.hidden_dim)
+        )
+        keep_mask = None
+        # the FFW mask is ~80% of all dropout bits drawn per train step;
+        # bernoulli_packed slices 4 masks per threefry word (4x cheaper than
+        # nn.Dropout's one-word-per-sample draw, still deterministic
+        # threefry). The scale uses the REALISED keep prob (1/256-quantised)
+        # so the estimator stays unbiased.
+        keep_prob = realized_keep_prob(1.0 - self.dropout)
+        if train and self.dropout > 0.0:
+            keep_mask = bernoulli_packed(
+                self.make_rng("dropout"),
+                1.0 - self.dropout,
+                (batch, seq_len, self.dim_feedforward),
+            )
+        ff = transformer_ffw(
+            x,
+            p1,
+            p2,
+            keep_mask=keep_mask,
+            keep_prob=keep_prob,
+            use_fused=self.use_fused_mlp,
+            dtype=self.dtype,
+            interpret=jax.default_backend() != "tpu",
+        )
         x = nn.LayerNorm(name="norm2", dtype=self.dtype)(
-            x + nn.Dropout(self.dropout, deterministic=not train)(ff)
+            x + PackedDropout(self.dropout)(ff, deterministic=not train)
         )
         return x
 
@@ -295,6 +342,7 @@ class SequenceEncoder(nn.Module):
     encoder_type: str = "lstm"
     dropout: float = 0.1
     flash_attention: bool = False  # Pallas flash attention (transformer path)
+    fused_mlp: bool = False  # Pallas fused feed-forward (transformer path)
     # bf16 computation under mixed_precision (cnn/transformer paths; the RNN
     # recurrence keeps f32 carries — the grouped encoder has its own
     # mixed_precision recurrence flag)
@@ -370,6 +418,7 @@ class SequenceEncoder(nn.Module):
                 num_heads=nhead,
                 dropout=self.dropout,
                 use_flash=self.flash_attention,
+                use_fused_mlp=self.fused_mlp,
                 dtype=self.dtype,
                 name=f"layer{idx}",
             )(x, key_padding_mask=valid_mask, train=train)
@@ -498,7 +547,7 @@ def build_encoder(
 
     def make_sequence():
         allowed = {"hidden_dim", "num_layers", "encoder_type", "dropout",
-                   "flash_attention", "dtype"}
+                   "flash_attention", "fused_mlp", "dtype"}
         enc = SequenceEncoder(output_dim=output_dim, **{k: v for k, v in config.items() if k in allowed})
         enc._check()
         return enc

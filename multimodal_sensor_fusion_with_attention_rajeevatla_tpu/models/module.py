@@ -285,6 +285,9 @@ class MultimodalFusionModel(nn.Module):
         flash = _parse_backend_flag(
             model_cfg.get("flash_attention", "auto"), "flash_attention"
         )
+        fused_mlp = _parse_backend_flag(
+            model_cfg.get("fused_mlp", "auto"), "fused_mlp"
+        )
         enc_cfgs = {}
         all_encoder_cfg = model_cfg.get("encoders", {}) or {}
         for name in modalities:
@@ -295,6 +298,7 @@ class MultimodalFusionModel(nn.Module):
                 cfg["hidden_dim"] = int(model_cfg.get("hidden_dim", 256))
             if cfg.get("encoder_type") == "transformer":
                 cfg.setdefault("flash_attention", bool(flash))
+                cfg.setdefault("fused_mlp", bool(fused_mlp))
             enc_cfgs[name] = cfg
         pallas_rnn = _parse_backend_flag(
             model_cfg.get("pallas_rnn", False), "pallas_rnn"

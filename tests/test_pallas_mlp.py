@@ -1,0 +1,224 @@
+"""Fused transformer feed-forward kernel (ops/pallas_mlp.py) vs the XLA path.
+
+Mirrors the kernel-vs-XLA strategy of tests/test_pallas.py: exact-ish forward
+parity, gradient equivalence through the custom VJP, dropout-mask parity
+(both paths consume the same externally drawn mask), and encoder-level
+equivalence so ``fused_mlp: auto`` cannot change training semantics.
+Reference anchor: the torch layer this replaces is
+``/root/reference/src/encoders.py:99-111`` (``nn.TransformerEncoderLayer``
+with dim_feedforward=2048).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.models.encoders import (
+    SequenceEncoder,
+)
+from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_mlp import (
+    dense_params_init,
+    fused_mlp,
+    transformer_ffw,
+)
+
+
+def _params(rng, n, d_in, d_ff, d_out):
+    return (
+        jnp.asarray(rng.standard_normal((n, d_in)), jnp.float32),
+        jnp.asarray(rng.standard_normal((d_in, d_ff)) * 0.1, jnp.float32),
+        jnp.asarray(rng.standard_normal(d_ff) * 0.1, jnp.float32),
+        jnp.asarray(rng.standard_normal((d_ff, d_out)) * 0.1, jnp.float32),
+        jnp.asarray(rng.standard_normal(d_out) * 0.1, jnp.float32),
+    )
+
+
+class TestFusedMLPKernel:
+    def test_forward_matches_xla(self):
+        rng = np.random.default_rng(0)
+        x, w1, b1, w2, b2 = _params(rng, 64, 32, 128, 32)
+        ref = jnp.maximum(x @ w1 + b1, 0.0) @ w2 + b2
+        got = fused_mlp(x, w1, b1, w2, b2, interpret=True)
+        np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+    def test_forward_rows_not_multiple_of_block(self):
+        rng = np.random.default_rng(1)
+        x, w1, b1, w2, b2 = _params(rng, 101, 16, 64, 16)
+        ref = jnp.maximum(x @ w1 + b1, 0.0) @ w2 + b2
+        got = fused_mlp(x, w1, b1, w2, b2, interpret=True)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+    def test_forward_with_dropout_mask(self):
+        rng = np.random.default_rng(2)
+        x, w1, b1, w2, b2 = _params(rng, 64, 32, 128, 32)
+        mask = jnp.asarray(rng.integers(0, 2, (64, 128)), jnp.uint8)
+        keep = 0.9
+        ref = (jnp.maximum(x @ w1 + b1, 0.0) * mask / keep) @ w2 + b2
+        got = fused_mlp(x, w1, b1, w2, b2, mask, keep, interpret=True)
+        np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+    def test_gradients_match_xla(self):
+        rng = np.random.default_rng(3)
+        x, w1, b1, w2, b2 = _params(rng, 72, 24, 96, 24)
+        mask = jnp.asarray(rng.integers(0, 2, (72, 96)), jnp.uint8)
+        keep = 0.8
+
+        def loss_fused(p):
+            x, w1, b1, w2, b2 = p
+            return jnp.sum(
+                jnp.tanh(fused_mlp(x, w1, b1, w2, b2, mask, keep, interpret=True))
+            )
+
+        def loss_ref(p):
+            x, w1, b1, w2, b2 = p
+            h = jnp.maximum(x @ w1 + b1, 0.0) * mask / keep
+            return jnp.sum(jnp.tanh(h @ w2 + b2))
+
+        got = jax.grad(loss_fused)((x, w1, b1, w2, b2))
+        ref = jax.grad(loss_ref)((x, w1, b1, w2, b2))
+        for g, r in zip(got, ref):
+            np.testing.assert_allclose(g, r, atol=1e-4, rtol=1e-4)
+
+    def test_gradients_no_mask(self):
+        rng = np.random.default_rng(4)
+        x, w1, b1, w2, b2 = _params(rng, 40, 16, 48, 16)
+
+        def loss_fused(p):
+            return jnp.sum(fused_mlp(*p, interpret=True) ** 2)
+
+        def loss_ref(p):
+            x, w1, b1, w2, b2 = p
+            return jnp.sum((jnp.maximum(x @ w1 + b1, 0.0) @ w2 + b2) ** 2)
+
+        got = jax.grad(loss_fused)((x, w1, b1, w2, b2))
+        ref = jax.grad(loss_ref)((x, w1, b1, w2, b2))
+        for g, r in zip(got, ref):
+            np.testing.assert_allclose(g, r, atol=1e-4, rtol=1e-4)
+
+    def test_bf16_inputs(self):
+        rng = np.random.default_rng(5)
+        x, w1, b1, w2, b2 = _params(rng, 32, 16, 64, 16)
+        got = fused_mlp(
+            x.astype(jnp.bfloat16),
+            w1.astype(jnp.bfloat16),
+            b1,
+            w2.astype(jnp.bfloat16),
+            b2,
+            interpret=True,
+        )
+        ref = jnp.maximum(x @ w1 + b1, 0.0) @ w2 + b2
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            got.astype(jnp.float32), ref, atol=0.15, rtol=0.05
+        )
+
+
+class TestTransformerFFW:
+    def test_paths_agree_without_dropout(self):
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.standard_normal((2, 10, 16)), jnp.float32)
+        key = jax.random.PRNGKey(0)
+        p1 = dense_params_init(16, 64)(key)
+        p2 = dense_params_init(64, 16)(jax.random.PRNGKey(1))
+        a = transformer_ffw(x, p1, p2, use_fused=False)
+        b = transformer_ffw(x, p1, p2, use_fused=True, interpret=True)
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+    def test_paths_agree_with_same_mask(self):
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((2, 10, 16)), jnp.float32)
+        p1 = dense_params_init(16, 64)(jax.random.PRNGKey(0))
+        p2 = dense_params_init(64, 16)(jax.random.PRNGKey(1))
+        mask = jax.random.bernoulli(jax.random.PRNGKey(2), 0.9, (2, 10, 64))
+        a = transformer_ffw(x, p1, p2, keep_mask=mask, keep_prob=0.9, use_fused=False)
+        b = transformer_ffw(
+            x, p1, p2, keep_mask=mask, keep_prob=0.9, use_fused=True, interpret=True
+        )
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+class TestEncoderLevel:
+    """fused_mlp flag must not change SequenceEncoder behavior."""
+
+    def _encoders(self):
+        common = dict(
+            hidden_dim=32,
+            output_dim=16,
+            num_layers=1,
+            encoder_type="transformer",
+            dropout=0.25,
+        )
+        return (
+            SequenceEncoder(fused_mlp=False, **common),
+            SequenceEncoder(fused_mlp=True, **common),
+        )
+
+    def test_param_tree_identical(self):
+        enc_a, enc_b = self._encoders()
+        x = jnp.ones((2, 12, 8))
+        va = enc_a.init(jax.random.PRNGKey(0), x)
+        vb = enc_b.init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(va) == jax.tree_util.tree_structure(vb)
+        # the feed-forward params keep the exact nn.Dense checkpoint layout
+        layer = va["params"]["layer0"]
+        assert set(layer["linear1"].keys()) == {"kernel", "bias"}
+        assert layer["linear1"]["kernel"].shape == (32, 2048)
+
+    def test_eval_outputs_identical(self):
+        enc_a, enc_b = self._encoders()
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.standard_normal((3, 12, 8)), jnp.float32)
+        lengths = jnp.array([12, 7, 3])
+        va = enc_a.init(jax.random.PRNGKey(0), x)
+        out_a = enc_a.apply(va, x, lengths=lengths)
+        out_b = enc_b.apply(va, x, lengths=lengths)
+        np.testing.assert_allclose(out_a, out_b, atol=1e-5, rtol=1e-5)
+
+    def test_train_step_identical_rng_identical_outputs(self):
+        """Same dropout rng => identical stochastic training output on both
+        paths (the mask is drawn outside the kernel, on both paths)."""
+        enc_a, enc_b = self._encoders()
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.standard_normal((3, 12, 8)), jnp.float32)
+        va = enc_a.init(jax.random.PRNGKey(0), x)
+        drop = jax.random.PRNGKey(42)
+        out_a = enc_a.apply(va, x, train=True, rngs={"dropout": drop})
+        out_b = enc_b.apply(va, x, train=True, rngs={"dropout": drop})
+        np.testing.assert_allclose(out_a, out_b, atol=1e-5, rtol=1e-5)
+
+    def test_train_gradients_match(self):
+        enc_a, enc_b = self._encoders()
+        rng = np.random.default_rng(10)
+        x = jnp.asarray(rng.standard_normal((2, 12, 8)), jnp.float32)
+        va = enc_a.init(jax.random.PRNGKey(0), x)
+        drop = jax.random.PRNGKey(7)
+
+        def loss(params, enc):
+            out = enc.apply(
+                {"params": params}, x, train=True, rngs={"dropout": drop}
+            )
+            return jnp.sum(out**2)
+
+        from jax.flatten_util import ravel_pytree
+
+        ga = jax.grad(loss)(va["params"], enc_a)
+        gb = jax.grad(loss)(va["params"], enc_b)
+        flat_a, _ = ravel_pytree(ga)
+        flat_b, _ = ravel_pytree(gb)
+        np.testing.assert_allclose(flat_a, flat_b, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("raw,expected", [("auto", False), ("1", True), ("off", False)])
+def test_fused_mlp_flag_parsing(raw, expected):
+    """fused_mlp goes through the same string-safe flag parser as
+    flash_attention (CPU default backend => auto resolves False here)."""
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.models.module import (
+        _parse_backend_flag,
+    )
+
+    if raw == "off":
+        assert _parse_backend_flag(raw, "fused_mlp") is False
+    else:
+        assert _parse_backend_flag(raw, "fused_mlp") is expected
