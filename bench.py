@@ -116,6 +116,8 @@ def build_model(pallas=None):
                 ),
                 # Pallas flash attention fwd+bwd in the transformer encoders
                 "flash_attention": os.environ.get("BENCH_FLASH", "auto"),
+                # Pallas fused feed-forward in the transformer encoders
+                "fused_mlp": os.environ.get("BENCH_FUSED_MLP", "auto"),
                 "encoders": {
                     m: {
                         "type": "sequence",

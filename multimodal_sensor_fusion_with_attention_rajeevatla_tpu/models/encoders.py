@@ -29,7 +29,6 @@ from flax import linen as nn
 
 from ..ops.masked import lengths_to_mask, masked_mean_pool, masked_softmax, nan_to_num
 from ..ops.pallas_mlp import dense_params_init, transformer_ffw
-from ..ops.prng import PackedDropout, bernoulli_packed, realized_keep_prob
 
 
 def _uniform(scale: float):
@@ -286,10 +285,8 @@ class _TransformerEncoderLayer(nn.Module):
                 batch, seq_len, self.hidden_dim
             )
         attended = nn.Dense(self.hidden_dim, name="out_proj", dtype=self.dtype)(attended)
-        # residual dropouts use packed threefry masks too (~20% of the
-        # layer's dropout bits; same determinism guarantees as nn.Dropout)
         x = nn.LayerNorm(name="norm1", dtype=self.dtype)(
-            x + PackedDropout(self.dropout)(attended, deterministic=not train)
+            x + nn.Dropout(self.dropout, deterministic=not train)(attended)
         )
         # feed-forward block: dict-valued params keep the exact nn.Dense
         # checkpoint tree (params['linear1']['kernel'|'bias']) while letting
@@ -301,16 +298,15 @@ class _TransformerEncoderLayer(nn.Module):
             "linear2", dense_params_init(self.dim_feedforward, self.hidden_dim)
         )
         keep_mask = None
-        # the FFW mask is ~80% of all dropout bits drawn per train step;
-        # bernoulli_packed slices 4 masks per threefry word (4x cheaper than
-        # nn.Dropout's one-word-per-sample draw, still deterministic
-        # threefry). The scale uses the REALISED keep prob (1/256-quantised)
-        # so the estimator stays unbiased.
-        keep_prob = realized_keep_prob(1.0 - self.dropout)
+        # drawn OUTSIDE the kernel so the fused and XLA paths consume the
+        # same mask (backend-independent training semantics). Plain threefry
+        # bernoulli: a 4-masks-per-word packed variant was measured SLOWER
+        # on TPU (docs/notes.md "negative results") and was removed.
+        keep_prob = 1.0 - self.dropout
         if train and self.dropout > 0.0:
-            keep_mask = bernoulli_packed(
+            keep_mask = jax.random.bernoulli(
                 self.make_rng("dropout"),
-                1.0 - self.dropout,
+                keep_prob,
                 (batch, seq_len, self.dim_feedforward),
             )
         ff = transformer_ffw(
@@ -324,7 +320,7 @@ class _TransformerEncoderLayer(nn.Module):
             interpret=jax.default_backend() != "tpu",
         )
         x = nn.LayerNorm(name="norm2", dtype=self.dtype)(
-            x + PackedDropout(self.dropout)(ff, deterministic=not train)
+            x + nn.Dropout(self.dropout, deterministic=not train)(ff)
         )
         return x
 

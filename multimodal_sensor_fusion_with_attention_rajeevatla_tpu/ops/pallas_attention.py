@@ -58,10 +58,12 @@ def _flash_kernel(
     block_q: int,
     block_k: int,
     sm_scale: float,
+    cast_bf16: bool,
 ):
     bh = pl.program_id(0)
     kb = pl.program_id(2)
     num_kb = pl.num_programs(2)
+    cd = jnp.bfloat16 if cast_bf16 else jnp.float32
 
     @pl.when(kb == 0)
     def _init():
@@ -69,8 +71,10 @@ def _flash_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]  # [block_q, d]
-    k = k_ref[0]  # [block_k, d]
+    q = q_ref[0].astype(cd)  # [block_q, d]
+    k = k_ref[0].astype(cd)  # [block_k, d]
+    # bf16 dot inputs on real TPU (f32 accumulate): matches the XLA path's
+    # DEFAULT matmul precision; an uncast f32 Mosaic dot runs multi-pass
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * sm_scale  # [block_q, block_k]
@@ -93,7 +97,8 @@ def _flash_kernel(
 
     l_ref[:] = l_ref[:] * correction + jnp.sum(p, axis=1, keepdims=True)
     acc_ref[:] = acc_ref[:] * correction + jax.lax.dot_general(
-        p, v_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(cd), v_ref[0].astype(cd), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     m_ref[:] = m_new
 
@@ -114,8 +119,15 @@ def _flash_forward(qf, kf, vf, len_bh, *, block_q, block_k, sm_scale, interpret)
     # cotangent slot); the kernels compare against int32
     len_bh = len_bh.astype(jnp.int32)
     bh, padded_len, d = qf.shape
+    if not interpret:
+        # pre-cast ONCE: in-kernel astype re-runs per grid step, and bf16
+        # streams halve the q/k/v HBM traffic
+        qf = qf.astype(jnp.bfloat16)
+        kf = kf.astype(jnp.bfloat16)
+        vf = vf.astype(jnp.bfloat16)
     kernel = functools.partial(
-        _flash_kernel, block_q=block_q, block_k=block_k, sm_scale=sm_scale
+        _flash_kernel, block_q=block_q, block_k=block_k, sm_scale=sm_scale,
+        cast_bf16=not interpret,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -175,7 +187,9 @@ def _dkv_kernel(
     block_q: int,
     block_k: int,
     sm_scale: float,
+    cast_bf16: bool,
 ):
+    cd = jnp.bfloat16 if cast_bf16 else jnp.float32
     bh = pl.program_id(0)
     kb = pl.program_id(1)
     qb = pl.program_id(2)
@@ -186,11 +200,11 @@ def _dkv_kernel(
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0]          # [block_q, d]
-    k = k_ref[0]          # [block_k, d]
-    do = do_ref[0]        # [block_q, d]
-    lse = lse_ref[0]      # [block_q, 1]
-    delta = delta_ref[0]  # [block_q, 1]
+    q = q_ref[0].astype(cd)   # [block_q, d]
+    k = k_ref[0].astype(cd)   # [block_k, d]
+    do = do_ref[0]            # [block_q, d]
+    lse = lse_ref[0]          # [block_q, 1]
+    delta = delta_ref[0]      # [block_q, 1]
     valid_len = len_ref[bh, 0]
 
     scores = jax.lax.dot_general(
@@ -206,16 +220,19 @@ def _dkv_kernel(
 
     # dV += p^T dO
     dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(cd), do.astype(cd), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     # dp = dO v^T ; ds = p * (dp - delta) * scale
     dp = jax.lax.dot_general(
-        do, v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        do.astype(cd), v_ref[0].astype(cd), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     ds = p * (dp - delta) * sm_scale
     # dK += ds^T q
     dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds.astype(cd), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(qb == num_qb - 1)
@@ -238,7 +255,9 @@ def _dq_kernel(
     block_q: int,
     block_k: int,
     sm_scale: float,
+    cast_bf16: bool,
 ):
+    cd = jnp.bfloat16 if cast_bf16 else jnp.float32
     bh = pl.program_id(0)
     qb = pl.program_id(1)
     kb = pl.program_id(2)
@@ -248,8 +267,8 @@ def _dq_kernel(
     def _init():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
-    q = q_ref[0]
-    k = k_ref[0]
+    q = q_ref[0].astype(cd)
+    k = k_ref[0].astype(cd)
     do = do_ref[0]
     lse = lse_ref[0]      # [block_q, 1]
     delta = delta_ref[0]  # [block_q, 1]
@@ -265,12 +284,14 @@ def _dq_kernel(
     p = jnp.where((col_ids < valid_len) & (lse > NEG_INF / 2), p, 0.0)
 
     dp = jax.lax.dot_general(
-        do, v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        do.astype(cd), v_ref[0].astype(cd), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     ds = p * (dp - delta) * sm_scale
     # dQ += ds k
     dq_acc[:] = dq_acc[:] + jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds.astype(cd), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(kb == num_kb - 1)
@@ -283,8 +304,14 @@ def _flash_backward(
 ):
     len_bh = len_bh.astype(jnp.int32)
     bh, padded_len, d = qf.shape
-    # softmax-Jacobian row term, one fused XLA reduction
+    # softmax-Jacobian row term, one fused XLA reduction (f32, before the
+    # bf16 pre-cast below)
     delta = jnp.sum(dof * out, axis=-1, keepdims=True)  # [BH, T, 1]
+    if not interpret:
+        qf = qf.astype(jnp.bfloat16)
+        kf = kf.astype(jnp.bfloat16)
+        vf = vf.astype(jnp.bfloat16)
+        dof = dof.astype(jnp.bfloat16)
 
     q_spec_kq = pl.BlockSpec(
         (1, block_q, d), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM
@@ -296,7 +323,8 @@ def _flash_backward(
         (1, block_q, 1), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM
     )
     dkv_kernel = functools.partial(
-        _dkv_kernel, block_q=block_q, block_k=block_k, sm_scale=sm_scale
+        _dkv_kernel, block_q=block_q, block_k=block_k, sm_scale=sm_scale,
+        cast_bf16=not interpret,
     )
     dk, dv = pl.pallas_call(
         dkv_kernel,
@@ -344,7 +372,8 @@ def _flash_backward(
         (1, block_q, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
     )
     dq_kernel = functools.partial(
-        _dq_kernel, block_q=block_q, block_k=block_k, sm_scale=sm_scale
+        _dq_kernel, block_q=block_q, block_k=block_k, sm_scale=sm_scale,
+        cast_bf16=not interpret,
     )
     dq = pl.pallas_call(
         dq_kernel,

@@ -69,16 +69,22 @@ def _pick_block_rows(d_ff: int, budget_bytes: int) -> int:
     return (rows // 8) * 8  # sublane alignment
 
 
-def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest, has_mask, inv_keep):
+def _fwd_kernel(
+    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest, has_mask, inv_keep, cast_bf16
+):
     if has_mask:
         mask_ref, o_ref = rest
     else:
         (o_ref,) = rest
     x = x_ref[:]
-    cd = x.dtype
+    # on real TPU, cast dot inputs to bf16 (f32 accumulation): this matches
+    # the XLA path's DEFAULT matmul precision (single bf16 MXU pass) — an
+    # uncast f32 Mosaic dot runs the slower multi-pass form. Interpret mode
+    # keeps f32, matching XLA-on-CPU.
+    cd = jnp.bfloat16 if cast_bf16 else x.dtype
     pre = (
         jax.lax.dot_general(
-            x, w1_ref[:].astype(cd), (((1,), (0,)), ((), ())),
+            x.astype(cd), w1_ref[:].astype(cd), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         + b1_ref[:]
@@ -101,7 +107,7 @@ def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest, has_mask, inv_keep
 
 
 def _bwd_kernel(
-    x_ref, w1_ref, b1_ref, w2_ref, do_ref, *rest, has_mask, inv_keep
+    x_ref, w1_ref, b1_ref, w2_ref, do_ref, *rest, has_mask, inv_keep, cast_bf16
 ):
     if has_mask:
         mask_ref, dx_ref, dw1_ref, db1_ref, dw2_ref = rest
@@ -115,14 +121,16 @@ def _bwd_kernel(
         dw2_ref[:] = jnp.zeros_like(dw2_ref)
 
     x = x_ref[:]
-    cd = x.dtype
+    # bf16 dot inputs on real TPU: see _fwd_kernel (XLA's own backward also
+    # runs DEFAULT-precision bf16 passes for these dots)
+    cd = jnp.bfloat16 if cast_bf16 else x.dtype
     rows = x.shape[0]
-    do = do_ref[:].astype(jnp.float32)
+    do = do_ref[:]
 
     # recompute the hidden tile (cheaper than streaming a [N, d_ff] residual)
     pre = (
         jax.lax.dot_general(
-            x, w1_ref[:].astype(cd), (((1,), (0,)), ((), ())),
+            x.astype(cd), w1_ref[:].astype(cd), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         + b1_ref[:]
@@ -153,7 +161,7 @@ def _bwd_kernel(
 
     # dW1 += x^T dpre ; db1 partial-sums in 8-row lanes (final fold outside)
     dw1_ref[:] = dw1_ref[:] + jax.lax.dot_general(
-        x, dpre.astype(cd), (((0,), (0,)), ((), ())),
+        x.astype(cd), dpre.astype(cd), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     db1_ref[:] = db1_ref[:] + jnp.sum(
@@ -175,6 +183,12 @@ def _pad_rows(x, block_rows):
 
 
 def _mlp_forward(x, w1, b1, w2, b2, mask, *, has_mask, inv_keep, interpret):
+    cast_bf16 = not interpret and x.dtype == jnp.float32
+    if cast_bf16:
+        # pre-cast ONCE here: an in-kernel astype on a constant-index-map ref
+        # re-runs on every grid step (64x per call at flagship shapes)
+        w1 = w1.astype(jnp.bfloat16)
+        w2 = w2.astype(jnp.bfloat16)
     d_in = x.shape[1]
     d_ff = w1.shape[1]
     d_out = w2.shape[1]
@@ -182,7 +196,7 @@ def _mlp_forward(x, w1, b1, w2, b2, mask, *, has_mask, inv_keep, interpret):
     x_pad, n = _pad_rows(x, block_rows)
     rows = x_pad.shape[0]
     kernel = functools.partial(
-        _fwd_kernel, has_mask=has_mask, inv_keep=inv_keep
+        _fwd_kernel, has_mask=has_mask, inv_keep=inv_keep, cast_bf16=cast_bf16
     )
     whole = lambda i: (0, 0)  # noqa: E731
     in_specs = [
@@ -221,6 +235,16 @@ def _mlp_forward(x, w1, b1, w2, b2, mask, *, has_mask, inv_keep, interpret):
 
 
 def _mlp_backward(x, w1, b1, w2, mask, dout, *, has_mask, inv_keep, interpret):
+    cast_bf16 = not interpret and x.dtype == jnp.float32
+    if cast_bf16:
+        # pre-cast weights once (see _mlp_forward); x/dout stream in bf16 too
+        # — halves their HBM traffic, and the dots consume bf16 anyway
+        w1 = w1.astype(jnp.bfloat16)
+        w2 = w2.astype(jnp.bfloat16)
+        x = x.astype(jnp.bfloat16)
+        dout_k = dout.astype(jnp.bfloat16)
+    else:
+        dout_k = dout
     d_in = x.shape[1]
     d_ff = w1.shape[1]
     d_out = w2.shape[1]
@@ -228,10 +252,10 @@ def _mlp_backward(x, w1, b1, w2, mask, dout, *, has_mask, inv_keep, interpret):
     # weight-grad accumulators in VMEM; use a smaller tile than forward
     block_rows = _pick_block_rows(d_ff, 1 << 20)
     x_pad, n = _pad_rows(x, block_rows)
-    dout_pad, _ = _pad_rows(dout, block_rows)
+    dout_pad, _ = _pad_rows(dout_k, block_rows)
     rows = x_pad.shape[0]
     kernel = functools.partial(
-        _bwd_kernel, has_mask=has_mask, inv_keep=inv_keep
+        _bwd_kernel, has_mask=has_mask, inv_keep=inv_keep, cast_bf16=cast_bf16
     )
     whole = lambda i: (0, 0)  # noqa: E731
     row_tile = lambda last: pl.BlockSpec(  # noqa: E731
@@ -260,7 +284,7 @@ def _mlp_backward(x, w1, b1, w2, mask, dout, *, has_mask, inv_keep, interpret):
             pl.BlockSpec((d_ff, d_out), whole, memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((rows, d_in), x.dtype),
+            jax.ShapeDtypeStruct((rows, d_in), jnp.float32),
             jax.ShapeDtypeStruct((d_in, d_ff), jnp.float32),
             jax.ShapeDtypeStruct((8, d_ff), jnp.float32),
             jax.ShapeDtypeStruct((d_ff, d_out), jnp.float32),
