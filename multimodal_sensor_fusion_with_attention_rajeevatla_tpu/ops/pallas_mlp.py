@@ -235,6 +235,9 @@ def _mlp_forward(x, w1, b1, w2, b2, mask, *, has_mask, inv_keep, interpret):
 
 
 def _mlp_backward(x, w1, b1, w2, mask, dout, *, has_mask, inv_keep, interpret):
+    # the dx cotangent must carry the PRIMAL x dtype (custom_vjp contract),
+    # captured before any bf16 pre-cast below
+    dx_dtype = x.dtype
     cast_bf16 = not interpret and x.dtype == jnp.float32
     if cast_bf16:
         # pre-cast weights once (see _mlp_forward); x/dout stream in bf16 too
@@ -284,7 +287,7 @@ def _mlp_backward(x, w1, b1, w2, mask, dout, *, has_mask, inv_keep, interpret):
             pl.BlockSpec((d_ff, d_out), whole, memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((rows, d_in), jnp.float32),
+            jax.ShapeDtypeStruct((rows, d_in), dx_dtype),
             jax.ShapeDtypeStruct((d_in, d_ff), jnp.float32),
             jax.ShapeDtypeStruct((8, d_ff), jnp.float32),
             jax.ShapeDtypeStruct((d_ff, d_out), jnp.float32),

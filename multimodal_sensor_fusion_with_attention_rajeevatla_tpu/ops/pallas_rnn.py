@@ -62,7 +62,10 @@ def _lstm_kernel(
             c = c_ref[g]
             z = (
                 xp
-                + jnp.dot(h, whh_ref[g], preferred_element_type=jnp.float32)
+                + jnp.dot(
+                    h.astype(whh_ref.dtype), whh_ref[g],
+                    preferred_element_type=jnp.float32,
+                )
                 + bhh_ref[g : g + 1, :]
             )
             i = jax.nn.sigmoid(z[:, 0 * hidden : 1 * hidden])
@@ -114,7 +117,8 @@ def _lstm_fused_kernel(
         xg = x_ref[:, g]  # [block_t, B, D]
         xg2 = xg.reshape(block_t * batch, xg.shape[-1])
         xp_ref[g] = jnp.dot(
-            xg2, wih_ref[g], preferred_element_type=jnp.float32
+            xg2.astype(wih_ref.dtype), wih_ref[g],
+            preferred_element_type=jnp.float32,
         ).reshape(block_t, batch, 4 * hidden)
 
     lengths = len_ref[:]  # [B, 1]
@@ -127,7 +131,10 @@ def _lstm_fused_kernel(
             c = c_ref[g]
             z = (
                 xp
-                + jnp.dot(h, whh_ref[g], preferred_element_type=jnp.float32)
+                + jnp.dot(
+                    h.astype(whh_ref.dtype), whh_ref[g],
+                    preferred_element_type=jnp.float32,
+                )
                 + bias_ref[g : g + 1, :]
             )
             i = jax.nn.sigmoid(z[:, 0 * hidden : 1 * hidden])
@@ -215,8 +222,8 @@ def grouped_lstm_fused(
         ),
     )(
         x.astype(jnp.float32),
-        w_ih.astype(jnp.float32),
-        w_hh.astype(jnp.float32),
+        w_ih.astype(jnp.float32 if interpret else jnp.bfloat16),
+        w_hh.astype(jnp.float32 if interpret else jnp.bfloat16),
         bias.astype(jnp.float32),
         lengths_col,
     )
@@ -272,7 +279,7 @@ def grouped_lstm_forward(
         ),
     )(
         x_proj.astype(jnp.float32),
-        w_hh.astype(jnp.float32),
+        w_hh.astype(jnp.float32 if interpret else jnp.bfloat16),
         b_hh.astype(jnp.float32),
         lengths_col,
     )
@@ -305,7 +312,10 @@ def _gru_fused_kernel(
         xg = x_ref[:, g]
         xg2 = xg.reshape(block_t * batch, xg.shape[-1])
         xp_ref[g] = (
-            jnp.dot(xg2, wih_ref[g], preferred_element_type=jnp.float32)
+            jnp.dot(
+                xg2.astype(wih_ref.dtype), wih_ref[g],
+                preferred_element_type=jnp.float32,
+            )
             + bih_ref[g : g + 1, :]
         ).reshape(block_t, batch, 3 * hidden)
 
@@ -317,7 +327,10 @@ def _gru_fused_kernel(
             xp = xp_ref[g, t]  # [B, 3H]
             h = h_ref[g]
             hp = (
-                jnp.dot(h, whh_ref[g], preferred_element_type=jnp.float32)
+                jnp.dot(
+                    h.astype(whh_ref.dtype), whh_ref[g],
+                    preferred_element_type=jnp.float32,
+                )
                 + bhh_ref[g : g + 1, :]
             )
             r = jax.nn.sigmoid(
@@ -402,8 +415,8 @@ def grouped_gru_fused(
         ),
     )(
         x.astype(jnp.float32),
-        w_ih.astype(jnp.float32),
-        w_hh.astype(jnp.float32),
+        w_ih.astype(jnp.float32 if interpret else jnp.bfloat16),
+        w_hh.astype(jnp.float32 if interpret else jnp.bfloat16),
         b_ih.astype(jnp.float32),
         b_hh.astype(jnp.float32),
         lengths_col,

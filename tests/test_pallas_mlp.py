@@ -97,6 +97,24 @@ class TestFusedMLPKernel:
         for g, r in zip(got, ref):
             np.testing.assert_allclose(g, r, atol=1e-4, rtol=1e-4)
 
+    def test_bf16_gradients_dtype(self):
+        """mixed_precision path: a bf16 primal must get a bf16 dx cotangent
+        (custom_vjp contract — regression: f32 dx crashed bf16 training)."""
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.standard_normal((40, 16)), jnp.bfloat16)
+        w1 = jnp.asarray(rng.standard_normal((16, 48)) * 0.1, jnp.bfloat16)
+        b1 = jnp.zeros((48,), jnp.float32)
+        w2 = jnp.asarray(rng.standard_normal((48, 16)) * 0.1, jnp.bfloat16)
+        b2 = jnp.zeros((16,), jnp.float32)
+
+        def loss(x):
+            out = fused_mlp(x, w1, b1, w2, b2, interpret=True)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss)(x)
+        assert g.dtype == jnp.bfloat16
+        assert g.shape == x.shape
+
     def test_bf16_inputs(self):
         rng = np.random.default_rng(5)
         x, w1, b1, w2, b2 = _params(rng, 32, 16, 64, 16)
