@@ -62,10 +62,7 @@ def _lstm_kernel(
             c = c_ref[g]
             z = (
                 xp
-                + jnp.dot(
-                    h.astype(whh_ref.dtype), whh_ref[g],
-                    preferred_element_type=jnp.float32,
-                )
+                + jnp.dot(h, whh_ref[g], preferred_element_type=jnp.float32)
                 + bhh_ref[g : g + 1, :]
             )
             i = jax.nn.sigmoid(z[:, 0 * hidden : 1 * hidden])
@@ -117,8 +114,7 @@ def _lstm_fused_kernel(
         xg = x_ref[:, g]  # [block_t, B, D]
         xg2 = xg.reshape(block_t * batch, xg.shape[-1])
         xp_ref[g] = jnp.dot(
-            xg2.astype(wih_ref.dtype), wih_ref[g],
-            preferred_element_type=jnp.float32,
+            xg2, wih_ref[g], preferred_element_type=jnp.float32
         ).reshape(block_t, batch, 4 * hidden)
 
     lengths = len_ref[:]  # [B, 1]
@@ -131,10 +127,7 @@ def _lstm_fused_kernel(
             c = c_ref[g]
             z = (
                 xp
-                + jnp.dot(
-                    h.astype(whh_ref.dtype), whh_ref[g],
-                    preferred_element_type=jnp.float32,
-                )
+                + jnp.dot(h, whh_ref[g], preferred_element_type=jnp.float32)
                 + bias_ref[g : g + 1, :]
             )
             i = jax.nn.sigmoid(z[:, 0 * hidden : 1 * hidden])
@@ -222,8 +215,8 @@ def grouped_lstm_fused(
         ),
     )(
         x.astype(jnp.float32),
-        w_ih.astype(jnp.float32 if interpret else jnp.bfloat16),
-        w_hh.astype(jnp.float32 if interpret else jnp.bfloat16),
+        w_ih.astype(jnp.float32),
+        w_hh.astype(jnp.float32),
         bias.astype(jnp.float32),
         lengths_col,
     )
@@ -279,7 +272,7 @@ def grouped_lstm_forward(
         ),
     )(
         x_proj.astype(jnp.float32),
-        w_hh.astype(jnp.float32 if interpret else jnp.bfloat16),
+        w_hh.astype(jnp.float32),
         b_hh.astype(jnp.float32),
         lengths_col,
     )
@@ -312,10 +305,7 @@ def _gru_fused_kernel(
         xg = x_ref[:, g]
         xg2 = xg.reshape(block_t * batch, xg.shape[-1])
         xp_ref[g] = (
-            jnp.dot(
-                xg2.astype(wih_ref.dtype), wih_ref[g],
-                preferred_element_type=jnp.float32,
-            )
+            jnp.dot(xg2, wih_ref[g], preferred_element_type=jnp.float32)
             + bih_ref[g : g + 1, :]
         ).reshape(block_t, batch, 3 * hidden)
 
@@ -327,10 +317,7 @@ def _gru_fused_kernel(
             xp = xp_ref[g, t]  # [B, 3H]
             h = h_ref[g]
             hp = (
-                jnp.dot(
-                    h.astype(whh_ref.dtype), whh_ref[g],
-                    preferred_element_type=jnp.float32,
-                )
+                jnp.dot(h, whh_ref[g], preferred_element_type=jnp.float32)
                 + bhh_ref[g : g + 1, :]
             )
             r = jax.nn.sigmoid(
@@ -415,8 +402,8 @@ def grouped_gru_fused(
         ),
     )(
         x.astype(jnp.float32),
-        w_ih.astype(jnp.float32 if interpret else jnp.bfloat16),
-        w_hh.astype(jnp.float32 if interpret else jnp.bfloat16),
+        w_ih.astype(jnp.float32),
+        w_hh.astype(jnp.float32),
         b_ih.astype(jnp.float32),
         b_hh.astype(jnp.float32),
         lengths_col,

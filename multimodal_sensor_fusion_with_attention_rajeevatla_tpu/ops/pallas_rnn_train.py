@@ -66,10 +66,7 @@ def _fwd_kernel(
             cprev_ref[t, g] = c
             z = (
                 x_ref[t, g]
-                + jnp.dot(
-                    h.astype(whh_ref.dtype), whh_ref[g],
-                    preferred_element_type=jnp.float32,
-                )
+                + jnp.dot(h, whh_ref[g], preferred_element_type=jnp.float32)
                 + bhh_ref[g : g + 1, :]
             )
             i = jax.nn.sigmoid(z[:, 0 * hidden : 1 * hidden])
@@ -163,7 +160,7 @@ def _bwd_kernel(
             # over the dx output): keeping the [G,H,4H] accumulator in VMEM
             # blew the 16 MB budget at flagship shapes
             dh_prev = jax.lax.dot_general(
-                dz.astype(whh_ref.dtype), whh_ref[g], (((1,), (1,)), ((), ())),
+                dz, whh_ref[g], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             dh_ref[g] = dh_prev + dh_skip
@@ -305,15 +302,11 @@ def _prep(x_proj, lengths_f):
     return x_proj, lengths_col, block_t, seq_len, batch
 
 
-def _kernel_weight_dtype():
-    return jnp.float32 if jax.default_backend() != "tpu" else jnp.bfloat16
-
-
 def _core_fwd(x_proj, w_hh, b_hh, lengths_f):
     x_pad, lengths_col, block_t, seq_len, batch = _prep(x_proj, lengths_f)
     out, gates, hprev, cprev = _lstm_core_fwd_kernels(
         x_pad.astype(jnp.float32),
-        w_hh.astype(_kernel_weight_dtype()),
+        w_hh.astype(jnp.float32),
         b_hh.astype(jnp.float32),
         lengths_col,
         block_t,
@@ -329,7 +322,7 @@ def _core_bwd(res, dh_out):
     if pad_b:
         dh_pad = jnp.pad(dh_pad, ((0, 0), (0, pad_b), (0, 0)))
     dx_pad = _lstm_core_bwd_kernels(
-        gates, hprev, cprev, w_hh.astype(_kernel_weight_dtype()), lengths_col,
+        gates, hprev, cprev, w_hh.astype(jnp.float32), lengths_col,
         dh_pad, block_t,
     )
     # weight/bias grads as ONE large MXU einsum each (padded steps/rows have
@@ -378,10 +371,7 @@ def _gru_fwd_kernel(
             hprev_ref[t, g] = h
             xp = x_ref[t, g]  # [B, 3H]
             hp = (
-                jnp.dot(
-                    h.astype(whh_ref.dtype), whh_ref[g],
-                    preferred_element_type=jnp.float32,
-                )
+                jnp.dot(h, whh_ref[g], preferred_element_type=jnp.float32)
                 + bhh_ref[g : g + 1, :]
             )
             hn = hp[:, 2 * hidden : 3 * hidden]
@@ -461,7 +451,7 @@ def _gru_bwd_kernel(
             # dW_hh/db_hh are reduced OUTSIDE the kernel from dx and r
             dhp = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)
             dh_prev = dh_prev + jax.lax.dot_general(
-                dhp.astype(whh_ref.dtype), whh_ref[g], (((1,), (1,)), ((), ())),
+                dhp, whh_ref[g], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             dh_ref[g] = dh_prev + dh_skip
@@ -581,7 +571,7 @@ def _gru_core_fwd(x_proj, w_hh, b_hh, lengths_f):
     x_pad, lengths_col, block_t, seq_len, batch = _gru_prep(x_proj, lengths_f)
     out, gates, hprev, hn = _gru_core_fwd_kernels(
         x_pad.astype(jnp.float32),
-        w_hh.astype(_kernel_weight_dtype()),
+        w_hh.astype(jnp.float32),
         b_hh.astype(jnp.float32),
         lengths_col,
         block_t,
@@ -598,7 +588,7 @@ def _gru_core_bwd(res, dh_out):
     if pad_b:
         dh_pad = jnp.pad(dh_pad, ((0, 0), (0, pad_b), (0, 0)))
     dx_pad = _gru_core_bwd_kernels(
-        gates, hprev, hn, w_hh.astype(_kernel_weight_dtype()), lengths_col,
+        gates, hprev, hn, w_hh.astype(jnp.float32), lengths_col,
         dh_pad, block_t,
     )
     # hidden-path cotangent: same as dx except the candidate slot carries an
