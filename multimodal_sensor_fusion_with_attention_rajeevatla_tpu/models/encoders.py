@@ -28,7 +28,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.masked import lengths_to_mask, masked_mean_pool, masked_softmax, nan_to_num
-from ..ops.pallas_mlp import dense_params_init, transformer_ffw
+from ..ops.pallas_mlp import (
+    dense_params_init,
+    fused_mlp_residual_ln,
+    ln_params_init,
+    transformer_ffw,
+)
 
 
 def _uniform(scale: float):
@@ -297,11 +302,12 @@ class _TransformerEncoderLayer(nn.Module):
         p2 = self.param(
             "linear2", dense_params_init(self.dim_feedforward, self.hidden_dim)
         )
-        keep_mask = None
-        # drawn OUTSIDE the kernel so the fused and XLA paths consume the
-        # same mask (backend-independent training semantics). Plain threefry
-        # bernoulli: a 4-masks-per-word packed variant was measured SLOWER
-        # on TPU (docs/notes.md "negative results") and was removed.
+        pn2 = self.param("norm2", ln_params_init(self.hidden_dim))
+        keep_mask = res_mask = None
+        # masks drawn OUTSIDE the kernel so the fused and XLA paths consume
+        # the same draws (backend-independent training semantics). Plain
+        # threefry bernoulli: a 4-masks-per-word packed variant was measured
+        # SLOWER on TPU (docs/notes.md "negative results") and was removed.
         keep_prob = 1.0 - self.dropout
         if train and self.dropout > 0.0:
             keep_mask = jax.random.bernoulli(
@@ -309,20 +315,60 @@ class _TransformerEncoderLayer(nn.Module):
                 keep_prob,
                 (batch, seq_len, self.dim_feedforward),
             )
+            res_mask = jax.random.bernoulli(
+                self.make_rng("dropout"),
+                keep_prob,
+                (batch, seq_len, self.hidden_dim),
+            )
+        interpret = jax.default_backend() != "tpu"
+        if self.use_fused_mlp:
+            # whole second half of the layer in ONE kernel: FFW + residual
+            # dropout + add + LayerNorm (ops/pallas_mlp.py). Neither the
+            # hidden activation nor the FFW output reach HBM.
+            cd = self.dtype or jnp.float32
+            out2d = fused_mlp_residual_ln(
+                x.reshape(batch * seq_len, self.hidden_dim).astype(cd),
+                p1["kernel"].astype(cd),
+                p1["bias"].astype(jnp.float32),
+                p2["kernel"].astype(cd),
+                p2["bias"].astype(jnp.float32),
+                pn2["scale"].astype(jnp.float32),
+                pn2["bias"].astype(jnp.float32),
+                ffw_mask=(
+                    keep_mask.reshape(batch * seq_len, -1)
+                    if keep_mask is not None else None
+                ),
+                res_mask=(
+                    res_mask.reshape(batch * seq_len, -1)
+                    if res_mask is not None else None
+                ),
+                keep_prob=keep_prob,
+                interpret=interpret,
+            )
+            return out2d.reshape(batch, seq_len, self.hidden_dim).astype(x.dtype)
         ff = transformer_ffw(
             x,
             p1,
             p2,
             keep_mask=keep_mask,
             keep_prob=keep_prob,
-            use_fused=self.use_fused_mlp,
+            use_fused=False,
             dtype=self.dtype,
-            interpret=jax.default_backend() != "tpu",
+            interpret=interpret,
         )
-        x = nn.LayerNorm(name="norm2", dtype=self.dtype)(
-            x + nn.Dropout(self.dropout, deterministic=not train)(ff)
+        if res_mask is not None:
+            ff = jnp.where(res_mask, ff / keep_prob, 0.0).astype(ff.dtype)
+        # manual LayerNorm on the shared raw params (flax semantics: fast
+        # variance, f32 statistics, eps 1e-6) — both paths share one
+        # checkpoint tree (params['norm2']['scale'|'bias'])
+        r = x.astype(jnp.float32) + ff.astype(jnp.float32)
+        mu = jnp.mean(r, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(r * r, axis=-1, keepdims=True) - mu * mu, 0.0
         )
-        return x
+        xhat = (r - mu) * jax.lax.rsqrt(var + 1e-6)
+        out = xhat * pn2["scale"] + pn2["bias"]
+        return out.astype(x.dtype)
 
 
 class SequenceEncoder(nn.Module):

@@ -407,3 +407,378 @@ def transformer_ffw(
         jnp.einsum("btf,fo->bto", h.astype(cd), w2).astype(jnp.float32) + b2
     )
     return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# fused FFW + residual dropout + add + LayerNorm (the transformer layer's
+# entire second half in one kernel)
+# ---------------------------------------------------------------------------
+#
+# After the fused FFW landed, the remaining HBM round trips in the layer's
+# second half are elementwise: the FFW output [N, H], the residual-dropout
+# mask/apply, the residual add, and LayerNorm's read+write. This kernel
+# absorbs all of them: per row tile it computes
+#   y   = ffw(x)            (hidden stays in VMEM, as in fused_mlp)
+#   r   = x + y * res_mask / keep
+#   out = LayerNorm(r) * gamma + beta   (flax semantics: fast variance,
+#                                        eps in the rsqrt)
+# and the custom-VJP backward recomputes the tile and accumulates
+# dW1/db1/dW2/db2/dgamma/dbeta in VMEM output blocks (written once).
+
+
+def ln_params_init(dim: int):
+    """Init for a dict-valued ``self.param`` matching ``nn.LayerNorm``'s
+    checkpoint tree ({'scale': ones, 'bias': zeros})."""
+
+    def init(_key):
+        return {
+            "scale": jnp.ones((dim,), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32),
+        }
+
+    return init
+
+
+def _ln_rows(r, gamma, beta, eps):
+    mu = jnp.mean(r, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(r * r, axis=-1, keepdims=True) - mu * mu, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (r - mu) * inv
+    return xhat * gamma + beta, xhat, inv
+
+
+def _ffw_ln_fwd_kernel(
+    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, bt_ref, *rest,
+    has_fmask, has_rmask, inv_keep, eps, cast_bf16,
+):
+    idx = 0
+    fmask_ref = rmask_ref = None
+    if has_fmask:
+        fmask_ref = rest[idx]; idx += 1
+    if has_rmask:
+        rmask_ref = rest[idx]; idx += 1
+    (o_ref,) = rest[idx:]
+
+    x = x_ref[:]  # f32 [rows, H] — residual + LN stats stay full precision
+    cd = jnp.bfloat16 if cast_bf16 else x.dtype
+    pre = (
+        jax.lax.dot_general(
+            x.astype(cd), w1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b1_ref[:]
+    )
+    h = jnp.maximum(pre, 0.0)
+    if has_fmask:
+        h = h * (fmask_ref[:].astype(jnp.int32).astype(jnp.float32) * inv_keep)
+    y = (
+        jax.lax.dot_general(
+            h.astype(cd), w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b2_ref[:]
+    )
+    if has_rmask:
+        y = y * (rmask_ref[:].astype(jnp.int32).astype(jnp.float32) * inv_keep)
+    r = x + y
+    out, _xhat, _inv = _ln_rows(r, g_ref[:], bt_ref[:], eps)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _ffw_ln_bwd_kernel(
+    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, bt_ref, do_ref, *rest,
+    has_fmask, has_rmask, inv_keep, eps, cast_bf16,
+):
+    idx = 0
+    fmask_ref = rmask_ref = None
+    if has_fmask:
+        fmask_ref = rest[idx]; idx += 1
+    if has_rmask:
+        rmask_ref = rest[idx]; idx += 1
+    (dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref, dbt_ref) = rest[idx:]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+        dg_ref[:] = jnp.zeros_like(dg_ref)
+        dbt_ref[:] = jnp.zeros_like(dbt_ref)
+
+    x = x_ref[:]
+    cd = jnp.bfloat16 if cast_bf16 else x.dtype
+    rows = x.shape[0]
+    do = do_ref[:]
+
+    # recompute the whole tile forward
+    pre = (
+        jax.lax.dot_general(
+            x.astype(cd), w1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b1_ref[:]
+    )
+    h = jnp.maximum(pre, 0.0)
+    if has_fmask:
+        fscale = fmask_ref[:].astype(jnp.int32).astype(jnp.float32) * inv_keep
+        hd = h * fscale
+    else:
+        hd = h
+    y = (
+        jax.lax.dot_general(
+            hd.astype(cd), w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b2_ref[:]
+    )
+    if has_rmask:
+        rscale = rmask_ref[:].astype(jnp.int32).astype(jnp.float32) * inv_keep
+        y = y * rscale
+    r = x + y
+    gamma = g_ref[:]
+    mu = jnp.mean(r, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(r * r, axis=-1, keepdims=True) - mu * mu, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (r - mu) * inv
+
+    # LayerNorm backward (per row)
+    dg_ref[:] = dg_ref[:] + jnp.sum(
+        (do * xhat).reshape(rows // 8, 8, -1), axis=0
+    )
+    dbt_ref[:] = dbt_ref[:] + jnp.sum(do.reshape(rows // 8, 8, -1), axis=0)
+    gdo = do * gamma
+    mean_g = jnp.mean(gdo, axis=-1, keepdims=True)
+    mean_gx = jnp.mean(gdo * xhat, axis=-1, keepdims=True)
+    dr = (gdo - mean_g - xhat * mean_gx) * inv
+
+    # back through the residual-dropout and the FFW
+    dy = dr * rscale if has_rmask else dr
+    db2_ref[:] = db2_ref[:] + jnp.sum(dy.reshape(rows // 8, 8, -1), axis=0)
+    dw2_ref[:] = dw2_ref[:] + jax.lax.dot_general(
+        hd.astype(cd), dy.astype(cd), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dhd = jax.lax.dot_general(
+        dy.astype(cd), w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if has_fmask:
+        dhd = dhd * fscale
+    dpre = jnp.where(pre > 0.0, dhd, 0.0)
+    dw1_ref[:] = dw1_ref[:] + jax.lax.dot_general(
+        x.astype(cd), dpre.astype(cd), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db1_ref[:] = db1_ref[:] + jnp.sum(dpre.reshape(rows // 8, 8, -1), axis=0)
+    dx_ref[:] = (
+        dr
+        + jax.lax.dot_general(
+            dpre.astype(cd), w1_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    ).astype(dx_ref.dtype)
+
+
+def _ffw_ln_args(x, w1, b1, w2, b2, gamma, beta, fmask, rmask, block_rows, cast):
+    whole = lambda i: (0, 0)  # noqa: E731
+    d_in = x.shape[1]
+    d_ff = w1.shape[1]
+    row = lambda last: pl.BlockSpec(  # noqa: E731
+        (block_rows, last), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    if cast:
+        w1 = w1.astype(jnp.bfloat16)
+        w2 = w2.astype(jnp.bfloat16)
+    specs = [
+        row(d_in),
+        pl.BlockSpec((d_in, d_ff), whole, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d_ff), whole, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d_ff, d_in), whole, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d_in), whole, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d_in), whole, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d_in), whole, memory_space=pltpu.VMEM),
+    ]
+    args = [
+        x, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1),
+        gamma.reshape(1, -1), beta.reshape(1, -1),
+    ]
+    if fmask is not None:
+        specs.append(row(d_ff))
+        args.append(fmask)
+    if rmask is not None:
+        specs.append(row(d_in))
+        args.append(rmask)
+    return specs, args
+
+
+def _ffw_ln_forward(
+    x, w1, b1, w2, b2, gamma, beta, fmask, rmask,
+    *, inv_keep, eps, interpret,
+):
+    cast = not interpret and x.dtype == jnp.float32
+    d_in = x.shape[1]
+    d_ff = w1.shape[1]
+    block_rows = _pick_block_rows(d_ff, 4 << 20)
+    x_pad, n = _pad_rows(x, block_rows)
+    rows = x_pad.shape[0]
+    fmask_pad = _pad_rows(fmask, block_rows)[0] if fmask is not None else None
+    rmask_pad = _pad_rows(rmask, block_rows)[0] if rmask is not None else None
+    specs, args = _ffw_ln_args(
+        x_pad, w1, b1, w2, b2, gamma, beta, fmask_pad, rmask_pad,
+        block_rows, cast,
+    )
+    kernel = functools.partial(
+        _ffw_ln_fwd_kernel,
+        has_fmask=fmask is not None, has_rmask=rmask is not None,
+        inv_keep=inv_keep, eps=eps, cast_bf16=cast,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(rows // block_rows,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec(
+            (block_rows, d_in), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, d_in), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * rows * d_in * d_ff,
+            bytes_accessed=x_pad.size * 8 + (w1.size + w2.size) * 4,
+            transcendentals=rows,
+        ),
+    )(*args)
+    return out[:n]
+
+
+def _ffw_ln_backward(
+    x, w1, b1, w2, b2, gamma, beta, fmask, rmask, dout,
+    *, inv_keep, eps, interpret,
+):
+    cast = not interpret and x.dtype == jnp.float32
+    d_in = x.shape[1]
+    d_ff = w1.shape[1]
+    block_rows = _pick_block_rows(d_ff, 1 << 20)
+    x_pad, n = _pad_rows(x, block_rows)
+    dout_pad = _pad_rows(dout, block_rows)[0]
+    rows = x_pad.shape[0]
+    fmask_pad = _pad_rows(fmask, block_rows)[0] if fmask is not None else None
+    rmask_pad = _pad_rows(rmask, block_rows)[0] if rmask is not None else None
+    specs, args = _ffw_ln_args(
+        x_pad, w1, b1, w2, b2, gamma, beta, fmask_pad, rmask_pad,
+        block_rows, cast,
+    )
+    # dout streams after the 7 fixed inputs, before the masks
+    row = lambda last: pl.BlockSpec(  # noqa: E731
+        (block_rows, last), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    specs.insert(7, row(d_in))
+    args.insert(7, dout_pad)
+    whole = lambda i: (0, 0)  # noqa: E731
+    kernel = functools.partial(
+        _ffw_ln_bwd_kernel,
+        has_fmask=fmask is not None, has_rmask=rmask is not None,
+        inv_keep=inv_keep, eps=eps, cast_bf16=cast,
+    )
+    dx, dw1, db1l, dw2, db2l, dgl, dbtl = pl.pallas_call(
+        kernel,
+        grid=(rows // block_rows,),
+        in_specs=specs,
+        out_specs=(
+            row(d_in),
+            pl.BlockSpec((d_in, d_ff), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, d_ff), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_ff, d_in), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, d_in), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, d_in), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, d_in), whole, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, d_in), x.dtype),
+            jax.ShapeDtypeStruct((d_in, d_ff), jnp.float32),
+            jax.ShapeDtypeStruct((8, d_ff), jnp.float32),
+            jax.ShapeDtypeStruct((d_ff, d_in), jnp.float32),
+            jax.ShapeDtypeStruct((8, d_in), jnp.float32),
+            jax.ShapeDtypeStruct((8, d_in), jnp.float32),
+            jax.ShapeDtypeStruct((8, d_in), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * rows * d_in * d_ff,
+            bytes_accessed=x_pad.size * 12 + (w1.size + w2.size) * 8,
+            transcendentals=rows,
+        ),
+    )(*args)
+    return (
+        dx[:n], dw1, jnp.sum(db1l, 0), dw2, jnp.sum(db2l, 0),
+        jnp.sum(dgl, 0), jnp.sum(dbtl, 0),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ffw_ln_core(config, x, w1, b1, w2, b2, gamma, beta, fmask, rmask):
+    out, _ = _ffw_ln_core_fwd(config, x, w1, b1, w2, b2, gamma, beta, fmask, rmask)
+    return out
+
+
+def _ffw_ln_core_fwd(config, x, w1, b1, w2, b2, gamma, beta, fmask, rmask):
+    has_fmask, has_rmask, inv_keep, eps, interpret = config
+    out = _ffw_ln_forward(
+        x, w1, b1, w2, b2, gamma, beta,
+        fmask if has_fmask else None, rmask if has_rmask else None,
+        inv_keep=inv_keep, eps=eps, interpret=interpret,
+    )
+    return out, (x, w1, b1, w2, b2, gamma, beta, fmask, rmask)
+
+
+def _ffw_ln_core_bwd(config, res, dout):
+    has_fmask, has_rmask, inv_keep, eps, interpret = config
+    x, w1, b1, w2, b2, gamma, beta, fmask, rmask = res
+    dx, dw1, db1, dw2, db2, dg, dbt = _ffw_ln_backward(
+        x, w1, b1, w2, b2, gamma, beta,
+        fmask if has_fmask else None, rmask if has_rmask else None,
+        dout.astype(jnp.float32),
+        inv_keep=inv_keep, eps=eps, interpret=interpret,
+    )
+    return (
+        dx,
+        dw1.astype(w1.dtype), db1.astype(b1.dtype),
+        dw2.astype(w2.dtype), db2.astype(b2.dtype),
+        dg.astype(gamma.dtype), dbt.astype(beta.dtype),
+        np.zeros(fmask.shape, jax.dtypes.float0),
+        np.zeros(rmask.shape, jax.dtypes.float0),
+    )
+
+
+_ffw_ln_core.defvjp(_ffw_ln_core_fwd, _ffw_ln_core_bwd)
+
+
+def fused_mlp_residual_ln(
+    x: jax.Array,  # [N, d_in]
+    w1: jax.Array, b1: jax.Array, w2: jax.Array, b2: jax.Array,
+    gamma: jax.Array, beta: jax.Array,  # LayerNorm scale/bias [d_in]
+    ffw_mask: Optional[jax.Array] = None,   # [N, d_ff] keep mask
+    res_mask: Optional[jax.Array] = None,   # [N, d_in] keep mask
+    keep_prob: float = 1.0,
+    eps: float = 1e-6,
+    interpret: bool = False,
+) -> jax.Array:
+    """``LayerNorm(x + dropout(ffw(x)))`` in one kernel; differentiable.
+
+    Neither the ``[N, d_ff]`` hidden activation nor the FFW output / residual
+    sum ever reach HBM. flax ``nn.LayerNorm`` semantics (fast variance,
+    default eps 1e-6).
+    """
+    has_fmask = ffw_mask is not None
+    has_rmask = res_mask is not None
+    fmask = (
+        ffw_mask.astype(jnp.uint8) if has_fmask
+        else jnp.zeros((8, 128), jnp.uint8)
+    )
+    rmask = (
+        res_mask.astype(jnp.uint8) if has_rmask
+        else jnp.zeros((8, 128), jnp.uint8)
+    )
+    config = (has_fmask, has_rmask, float(1.0 / keep_prob), float(eps),
+              bool(interpret))
+    return _ffw_ln_core(config, x, w1, b1, w2, b2, gamma, beta, fmask, rmask)

@@ -20,6 +20,7 @@ from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.models.encoders impo
 from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_mlp import (
     dense_params_init,
     fused_mlp,
+    fused_mlp_residual_ln,
     transformer_ffw,
 )
 
@@ -131,6 +132,87 @@ class TestFusedMLPKernel:
         np.testing.assert_allclose(
             got.astype(jnp.float32), ref, atol=0.15, rtol=0.05
         )
+
+
+class TestFusedMLPResidualLN:
+    """FFW + residual dropout + add + LayerNorm in one kernel."""
+
+    def _setup(self, n=100, h=32, f=64, seed=0):
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.standard_normal((n, h)), jnp.float32)
+        w1 = jnp.asarray(rng.standard_normal((h, f)) * 0.1, jnp.float32)
+        b1 = jnp.asarray(rng.standard_normal(f) * 0.1, jnp.float32)
+        w2 = jnp.asarray(rng.standard_normal((f, h)) * 0.1, jnp.float32)
+        b2 = jnp.asarray(rng.standard_normal(h) * 0.1, jnp.float32)
+        gamma = jnp.asarray(rng.standard_normal(h) * 0.2 + 1.0, jnp.float32)
+        beta = jnp.asarray(rng.standard_normal(h) * 0.1, jnp.float32)
+        fmask = jnp.asarray(rng.integers(0, 2, (n, f)), jnp.uint8)
+        rmask = jnp.asarray(rng.integers(0, 2, (n, h)), jnp.uint8)
+        return x, w1, b1, w2, b2, gamma, beta, fmask, rmask
+
+    @staticmethod
+    def _ref(x, w1, b1, w2, b2, gamma, beta, fmask=None, rmask=None, keep=1.0):
+        h = jnp.maximum(x @ w1 + b1, 0.0)
+        if fmask is not None:
+            h = h * fmask / keep
+        y = h @ w2 + b2
+        if rmask is not None:
+            y = y * rmask / keep
+        r = x + y
+        mu = jnp.mean(r, -1, keepdims=True)
+        var = jnp.maximum(jnp.mean(r * r, -1, keepdims=True) - mu * mu, 0.0)
+        return (r - mu) * jax.lax.rsqrt(var + 1e-6) * gamma + beta
+
+    def test_eval_forward(self):
+        x, w1, b1, w2, b2, gamma, beta, _, _ = self._setup()
+        got = fused_mlp_residual_ln(
+            x, w1, b1, w2, b2, gamma, beta, interpret=True
+        )
+        ref = self._ref(x, w1, b1, w2, b2, gamma, beta)
+        np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+    def test_train_forward_with_masks(self):
+        x, w1, b1, w2, b2, gamma, beta, fmask, rmask = self._setup(seed=1)
+        got = fused_mlp_residual_ln(
+            x, w1, b1, w2, b2, gamma, beta, fmask, rmask, 0.8, interpret=True
+        )
+        ref = self._ref(x, w1, b1, w2, b2, gamma, beta, fmask, rmask, 0.8)
+        np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+    def test_all_seven_gradients(self):
+        x, w1, b1, w2, b2, gamma, beta, fmask, rmask = self._setup(seed=2)
+
+        def loss_k(p):
+            return jnp.sum(
+                jnp.tanh(
+                    fused_mlp_residual_ln(
+                        *p, fmask, rmask, 0.8, interpret=True
+                    )
+                )
+            )
+
+        def loss_r(p):
+            return jnp.sum(jnp.tanh(self._ref(*p, fmask, rmask, 0.8)))
+
+        params = (x, w1, b1, w2, b2, gamma, beta)
+        gk = jax.grad(loss_k)(params)
+        gr = jax.grad(loss_r)(params)
+        for a, b in zip(gk, gr):
+            np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-3)
+
+    def test_matches_nn_layernorm(self):
+        """The in-kernel LN must match flax nn.LayerNorm (fast variance,
+        eps 1e-6) — pinned against the real flax module."""
+        from flax import linen as nn
+
+        x, w1, b1, w2, b2, gamma, beta, _, _ = self._setup(seed=3)
+        got = fused_mlp_residual_ln(
+            x, w1, b1, w2, b2, gamma, beta, interpret=True
+        )
+        r = x + jnp.maximum(x @ w1 + b1, 0.0) @ w2 + b2
+        ln = nn.LayerNorm()
+        want = ln.apply({"params": {"scale": gamma, "bias": beta}}, r)
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
 class TestTransformerFFW:
