@@ -118,6 +118,8 @@ def build_model(pallas=None):
                 "flash_attention": os.environ.get("BENCH_FLASH", "auto"),
                 # Pallas fused feed-forward in the transformer encoders
                 "fused_mlp": os.environ.get("BENCH_FUSED_MLP", "auto"),
+                # combined FFW + residual-dropout + LayerNorm kernel
+                "fused_mlp_ln": os.environ.get("BENCH_FUSED_LN", "0"),
                 "encoders": {
                     m: {
                         "type": "sequence",

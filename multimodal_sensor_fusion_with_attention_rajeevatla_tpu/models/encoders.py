@@ -225,6 +225,11 @@ class _TransformerEncoderLayer(nn.Module):
     # keep-mask from the 'dropout' rng stream, so training stochasticity is
     # independent of which backend resolved ``fused_mlp: auto``.
     use_fused_mlp: bool = False
+    # widen the fusion to the layer's whole second half (FFW + residual
+    # dropout + add + norm2 in one kernel). Off by default until validated
+    # on the real chip — HEAD's default path must only use TPU-proven
+    # kernels (the driver benches HEAD unattended).
+    use_fused_mlp_ln: bool = False
 
     @nn.compact
     def __call__(
@@ -321,7 +326,7 @@ class _TransformerEncoderLayer(nn.Module):
                 (batch, seq_len, self.hidden_dim),
             )
         interpret = jax.default_backend() != "tpu"
-        if self.use_fused_mlp:
+        if self.use_fused_mlp and self.use_fused_mlp_ln:
             # whole second half of the layer in ONE kernel: FFW + residual
             # dropout + add + LayerNorm (ops/pallas_mlp.py). Neither the
             # hidden activation nor the FFW output reach HBM.
@@ -352,7 +357,7 @@ class _TransformerEncoderLayer(nn.Module):
             p2,
             keep_mask=keep_mask,
             keep_prob=keep_prob,
-            use_fused=False,
+            use_fused=self.use_fused_mlp,
             dtype=self.dtype,
             interpret=interpret,
         )
@@ -385,6 +390,7 @@ class SequenceEncoder(nn.Module):
     dropout: float = 0.1
     flash_attention: bool = False  # Pallas flash attention (transformer path)
     fused_mlp: bool = False  # Pallas fused feed-forward (transformer path)
+    fused_mlp_ln: bool = False  # widen fusion to residual-dropout + norm2
     # bf16 computation under mixed_precision (cnn/transformer paths; the RNN
     # recurrence keeps f32 carries — the grouped encoder has its own
     # mixed_precision recurrence flag)
@@ -461,6 +467,7 @@ class SequenceEncoder(nn.Module):
                 dropout=self.dropout,
                 use_flash=self.flash_attention,
                 use_fused_mlp=self.fused_mlp,
+                use_fused_mlp_ln=self.fused_mlp_ln,
                 dtype=self.dtype,
                 name=f"layer{idx}",
             )(x, key_padding_mask=valid_mask, train=train)
@@ -589,7 +596,7 @@ def build_encoder(
 
     def make_sequence():
         allowed = {"hidden_dim", "num_layers", "encoder_type", "dropout",
-                   "flash_attention", "fused_mlp", "dtype"}
+                   "flash_attention", "fused_mlp", "fused_mlp_ln", "dtype"}
         enc = SequenceEncoder(output_dim=output_dim, **{k: v for k, v in config.items() if k in allowed})
         enc._check()
         return enc

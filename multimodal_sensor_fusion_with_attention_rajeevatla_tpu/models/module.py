@@ -288,6 +288,11 @@ class MultimodalFusionModel(nn.Module):
         fused_mlp = _parse_backend_flag(
             model_cfg.get("fused_mlp", "auto"), "fused_mlp"
         )
+        # combined FFW+LN kernel: explicitly opt-in (False, not auto) until
+        # each deployment validates it on its chips
+        fused_mlp_ln = _parse_backend_flag(
+            model_cfg.get("fused_mlp_ln", False), "fused_mlp_ln"
+        )
         enc_cfgs = {}
         all_encoder_cfg = model_cfg.get("encoders", {}) or {}
         for name in modalities:
@@ -299,6 +304,7 @@ class MultimodalFusionModel(nn.Module):
             if cfg.get("encoder_type") == "transformer":
                 cfg.setdefault("flash_attention", bool(flash))
                 cfg.setdefault("fused_mlp", bool(fused_mlp))
+                cfg.setdefault("fused_mlp_ln", bool(fused_mlp_ln))
             enc_cfgs[name] = cfg
         pallas_rnn = _parse_backend_flag(
             model_cfg.get("pallas_rnn", False), "pallas_rnn"

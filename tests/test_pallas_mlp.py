@@ -242,7 +242,7 @@ class TestTransformerFFW:
 class TestEncoderLevel:
     """fused_mlp flag must not change SequenceEncoder behavior."""
 
-    def _encoders(self):
+    def _encoders(self, combined=False):
         common = dict(
             hidden_dim=32,
             output_dim=16,
@@ -252,7 +252,7 @@ class TestEncoderLevel:
         )
         return (
             SequenceEncoder(fused_mlp=False, **common),
-            SequenceEncoder(fused_mlp=True, **common),
+            SequenceEncoder(fused_mlp=True, fused_mlp_ln=combined, **common),
         )
 
     def test_param_tree_identical(self):
@@ -287,6 +287,26 @@ class TestEncoderLevel:
         out_a = enc_a.apply(va, x, train=True, rngs={"dropout": drop})
         out_b = enc_b.apply(va, x, train=True, rngs={"dropout": drop})
         np.testing.assert_allclose(out_a, out_b, atol=1e-5, rtol=1e-5)
+
+    def test_combined_kernel_encoder_paths_agree(self):
+        """fused_mlp_ln=True (whole-second-half kernel) must match the
+        unfused path for eval AND stochastic train outputs."""
+        enc_a, enc_b = self._encoders(combined=True)
+        rng = np.random.default_rng(12)
+        x = jnp.asarray(rng.standard_normal((3, 12, 8)), jnp.float32)
+        lengths = jnp.array([12, 7, 3])
+        va = enc_a.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_allclose(
+            enc_a.apply(va, x, lengths=lengths),
+            enc_b.apply(va, x, lengths=lengths),
+            atol=1e-5, rtol=1e-5,
+        )
+        drop = jax.random.PRNGKey(42)
+        np.testing.assert_allclose(
+            enc_a.apply(va, x, train=True, rngs={"dropout": drop}),
+            enc_b.apply(va, x, train=True, rngs={"dropout": drop}),
+            atol=1e-5, rtol=1e-5,
+        )
 
     def test_train_gradients_match(self):
         enc_a, enc_b = self._encoders()
