@@ -230,6 +230,11 @@ def main(argv=None):
         "",
     ]
 
+    # hand-maintained sections (e.g. the seed-variance study) survive regen
+    extra = Path(args.out).parent / "seed_variance.md"
+    if extra.exists():
+        lines += [extra.read_text(), ""]
+
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text("\n".join(lines))
