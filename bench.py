@@ -119,7 +119,7 @@ def build_model(pallas=None):
                 # Pallas fused feed-forward in the transformer encoders
                 "fused_mlp": os.environ.get("BENCH_FUSED_MLP", "auto"),
                 # combined FFW + residual-dropout + LayerNorm kernel
-                "fused_mlp_ln": os.environ.get("BENCH_FUSED_LN", "0"),
+                "fused_mlp_ln": os.environ.get("BENCH_FUSED_LN", "auto"),
                 "encoders": {
                     m: {
                         "type": "sequence",

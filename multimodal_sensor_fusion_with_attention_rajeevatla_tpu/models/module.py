@@ -288,10 +288,8 @@ class MultimodalFusionModel(nn.Module):
         fused_mlp = _parse_backend_flag(
             model_cfg.get("fused_mlp", "auto"), "fused_mlp"
         )
-        # combined FFW+LN kernel: explicitly opt-in (False, not auto) until
-        # each deployment validates it on its chips
         fused_mlp_ln = _parse_backend_flag(
-            model_cfg.get("fused_mlp_ln", False), "fused_mlp_ln"
+            model_cfg.get("fused_mlp_ln", "auto"), "fused_mlp_ln"
         )
         enc_cfgs = {}
         all_encoder_cfg = model_cfg.get("encoders", {}) or {}
