@@ -782,3 +782,251 @@ def fused_mlp_residual_ln(
     config = (has_fmask, has_rmask, float(1.0 / keep_prob), float(eps),
               bool(interpret))
     return _ffw_ln_core(config, x, w1, b1, w2, b2, gamma, beta, fmask, rmask)
+
+
+# ---------------------------------------------------------------------------
+# fused out-projection + residual dropout + add + LayerNorm (the transformer
+# layer's FIRST half, post-attention)
+# ---------------------------------------------------------------------------
+#
+# Sibling of fused_mlp_residual_ln for the attention side: computes
+#   out = LayerNorm(x + dropout(attended @ Wo + bo))
+# per row tile, so the projected attention output, its dropout round trip,
+# the residual sum, and norm1's read+write never touch HBM.
+
+
+def _proj_ln_fwd_kernel(
+    x_ref, a_ref, wo_ref, bo_ref, g_ref, bt_ref, *rest,
+    has_rmask, inv_keep, eps, cast_bf16,
+):
+    if has_rmask:
+        rmask_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+    x = x_ref[:]
+    cd = jnp.bfloat16 if cast_bf16 else x.dtype
+    y = (
+        jax.lax.dot_general(
+            a_ref[:].astype(cd), wo_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bo_ref[:]
+    )
+    if has_rmask:
+        y = y * (rmask_ref[:].astype(jnp.int32).astype(jnp.float32) * inv_keep)
+    r = x + y
+    out, _xhat, _inv = _ln_rows(r, g_ref[:], bt_ref[:], eps)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _proj_ln_bwd_kernel(
+    x_ref, a_ref, wo_ref, bo_ref, g_ref, bt_ref, do_ref, *rest,
+    has_rmask, inv_keep, eps, cast_bf16,
+):
+    if has_rmask:
+        rmask_ref, dx_ref, da_ref, dwo_ref, dbo_ref, dg_ref, dbt_ref = rest
+    else:
+        dx_ref, da_ref, dwo_ref, dbo_ref, dg_ref, dbt_ref = rest
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwo_ref[:] = jnp.zeros_like(dwo_ref)
+        dbo_ref[:] = jnp.zeros_like(dbo_ref)
+        dg_ref[:] = jnp.zeros_like(dg_ref)
+        dbt_ref[:] = jnp.zeros_like(dbt_ref)
+
+    x = x_ref[:]
+    a = a_ref[:]
+    cd = jnp.bfloat16 if cast_bf16 else x.dtype
+    rows = x.shape[0]
+    do = do_ref[:]
+
+    y = (
+        jax.lax.dot_general(
+            a.astype(cd), wo_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bo_ref[:]
+    )
+    if has_rmask:
+        rscale = rmask_ref[:].astype(jnp.int32).astype(jnp.float32) * inv_keep
+        y = y * rscale
+    r = x + y
+    gamma = g_ref[:]
+    mu = jnp.mean(r, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(r * r, axis=-1, keepdims=True) - mu * mu, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (r - mu) * inv
+
+    dg_ref[:] = dg_ref[:] + jnp.sum(
+        (do * xhat).reshape(rows // 8, 8, -1), axis=0
+    )
+    dbt_ref[:] = dbt_ref[:] + jnp.sum(do.reshape(rows // 8, 8, -1), axis=0)
+    gdo = do * gamma
+    mean_g = jnp.mean(gdo, axis=-1, keepdims=True)
+    mean_gx = jnp.mean(gdo * xhat, axis=-1, keepdims=True)
+    dr = (gdo - mean_g - xhat * mean_gx) * inv
+
+    dy = dr * rscale if has_rmask else dr
+    dbo_ref[:] = dbo_ref[:] + jnp.sum(dy.reshape(rows // 8, 8, -1), axis=0)
+    dwo_ref[:] = dwo_ref[:] + jax.lax.dot_general(
+        a.astype(cd), dy.astype(cd), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    da_ref[:] = jax.lax.dot_general(
+        dy.astype(cd), wo_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(da_ref.dtype)
+    dx_ref[:] = dr.astype(dx_ref.dtype)
+
+
+def _proj_ln_forward(x, a, wo, bo, gamma, beta, rmask, *, inv_keep, eps, interpret):
+    cast = not interpret and x.dtype == jnp.float32
+    d = x.shape[1]
+    block_rows = _pick_block_rows(d, 1 << 20)
+    x_pad, n = _pad_rows(x, block_rows)
+    a_pad = _pad_rows(a, block_rows)[0]
+    rows = x_pad.shape[0]
+    if cast:
+        wo = wo.astype(jnp.bfloat16)
+    whole = lambda i: (0, 0)  # noqa: E731
+    row = lambda last: pl.BlockSpec(  # noqa: E731
+        (block_rows, last), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    specs = [
+        row(d), row(d),
+        pl.BlockSpec((d, d), whole, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), whole, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), whole, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), whole, memory_space=pltpu.VMEM),
+    ]
+    args = [x_pad, a_pad, wo, bo.reshape(1, -1), gamma.reshape(1, -1), beta.reshape(1, -1)]
+    if rmask is not None:
+        specs.append(row(d))
+        args.append(_pad_rows(rmask, block_rows)[0])
+    kernel = functools.partial(
+        _proj_ln_fwd_kernel, has_rmask=rmask is not None,
+        inv_keep=inv_keep, eps=eps, cast_bf16=cast,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(rows // block_rows,),
+        in_specs=specs,
+        out_specs=row(d),
+        out_shape=jax.ShapeDtypeStruct((rows, d), x.dtype),
+        interpret=interpret,
+    )(*args)
+    return out[:n]
+
+
+def _proj_ln_backward(x, a, wo, bo, gamma, beta, rmask, dout, *, inv_keep, eps, interpret):
+    cast = not interpret and x.dtype == jnp.float32
+    dx_dtype = x.dtype
+    d = x.shape[1]
+    block_rows = _pick_block_rows(d, 1 << 20)
+    x_pad, n = _pad_rows(x, block_rows)
+    a_pad = _pad_rows(a, block_rows)[0]
+    dout_pad = _pad_rows(dout, block_rows)[0]
+    rows = x_pad.shape[0]
+    if cast:
+        wo = wo.astype(jnp.bfloat16)
+    whole = lambda i: (0, 0)  # noqa: E731
+    row = lambda last: pl.BlockSpec(  # noqa: E731
+        (block_rows, last), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    specs = [
+        row(d), row(d),
+        pl.BlockSpec((d, d), whole, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), whole, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), whole, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), whole, memory_space=pltpu.VMEM),
+        row(d),
+    ]
+    args = [x_pad, a_pad, wo, bo.reshape(1, -1), gamma.reshape(1, -1),
+            beta.reshape(1, -1), dout_pad]
+    if rmask is not None:
+        specs.append(row(d))
+        args.append(_pad_rows(rmask, block_rows)[0])
+    kernel = functools.partial(
+        _proj_ln_bwd_kernel, has_rmask=rmask is not None,
+        inv_keep=inv_keep, eps=eps, cast_bf16=cast,
+    )
+    dx, da, dwo, dbo_l, dg_l, dbt_l = pl.pallas_call(
+        kernel,
+        grid=(rows // block_rows,),
+        in_specs=specs,
+        out_specs=(
+            row(d), row(d),
+            pl.BlockSpec((d, d), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, d), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, d), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, d), whole, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, d), dx_dtype),
+            jax.ShapeDtypeStruct((rows, d), dx_dtype),
+            jax.ShapeDtypeStruct((d, d), jnp.float32),
+            jax.ShapeDtypeStruct((8, d), jnp.float32),
+            jax.ShapeDtypeStruct((8, d), jnp.float32),
+            jax.ShapeDtypeStruct((8, d), jnp.float32),
+        ),
+        interpret=interpret,
+    )(*args)
+    return (
+        dx[:n], da[:n], dwo, jnp.sum(dbo_l, 0), jnp.sum(dg_l, 0),
+        jnp.sum(dbt_l, 0),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _proj_ln_core(config, x, a, wo, bo, gamma, beta, rmask):
+    out, _ = _proj_ln_core_fwd(config, x, a, wo, bo, gamma, beta, rmask)
+    return out
+
+
+def _proj_ln_core_fwd(config, x, a, wo, bo, gamma, beta, rmask):
+    has_rmask, inv_keep, eps, interpret = config
+    out = _proj_ln_forward(
+        x, a, wo, bo, gamma, beta, rmask if has_rmask else None,
+        inv_keep=inv_keep, eps=eps, interpret=interpret,
+    )
+    return out, (x, a, wo, bo, gamma, beta, rmask)
+
+
+def _proj_ln_core_bwd(config, res, dout):
+    has_rmask, inv_keep, eps, interpret = config
+    x, a, wo, bo, gamma, beta, rmask = res
+    dx, da, dwo, dbo, dg, dbt = _proj_ln_backward(
+        x, a, wo, bo, gamma, beta, rmask if has_rmask else None,
+        dout.astype(jnp.float32),
+        inv_keep=inv_keep, eps=eps, interpret=interpret,
+    )
+    return (
+        dx, da,
+        dwo.astype(wo.dtype), dbo.astype(bo.dtype),
+        dg.astype(gamma.dtype), dbt.astype(beta.dtype),
+        np.zeros(rmask.shape, jax.dtypes.float0),
+    )
+
+
+_proj_ln_core.defvjp(_proj_ln_core_fwd, _proj_ln_core_bwd)
+
+
+def fused_proj_residual_ln(
+    x: jax.Array,         # [N, d] residual stream
+    attended: jax.Array,  # [N, d] attention output (pre out-projection)
+    wo: jax.Array, bo: jax.Array,        # out-projection [d, d], [d]
+    gamma: jax.Array, beta: jax.Array,   # LayerNorm scale/bias [d]
+    res_mask: Optional[jax.Array] = None,  # [N, d] keep mask
+    keep_prob: float = 1.0,
+    eps: float = 1e-6,
+    interpret: bool = False,
+) -> jax.Array:
+    """``LayerNorm(x + dropout(attended @ wo + bo))`` in one kernel."""
+    has_rmask = res_mask is not None
+    rmask = (
+        res_mask.astype(jnp.uint8) if has_rmask
+        else jnp.zeros((8, 128), jnp.uint8)
+    )
+    config = (has_rmask, float(1.0 / keep_prob), float(eps), bool(interpret))
+    return _proj_ln_core(config, x, attended, wo, bo, gamma, beta, rmask)

@@ -215,6 +215,73 @@ class TestFusedMLPResidualLN:
         np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+class TestFusedProjResidualLN:
+    """out-projection + residual dropout + add + norm1 in one kernel."""
+
+    def _setup(self, n=100, h=32, seed=0):
+        rng = np.random.default_rng(seed)
+        return (
+            jnp.asarray(rng.standard_normal((n, h)), jnp.float32),
+            jnp.asarray(rng.standard_normal((n, h)), jnp.float32),
+            jnp.asarray(rng.standard_normal((h, h)) * 0.1, jnp.float32),
+            jnp.asarray(rng.standard_normal(h) * 0.1, jnp.float32),
+            jnp.asarray(rng.standard_normal(h) * 0.2 + 1.0, jnp.float32),
+            jnp.asarray(rng.standard_normal(h) * 0.1, jnp.float32),
+            jnp.asarray(rng.integers(0, 2, (n, h)), jnp.uint8),
+        )
+
+    @staticmethod
+    def _ref(p, rmask=None, keep=1.0):
+        x, a, wo, bo, g, bt = p
+        y = a @ wo + bo
+        if rmask is not None:
+            y = y * rmask / keep
+        r = x + y
+        mu = jnp.mean(r, -1, keepdims=True)
+        var = jnp.maximum(jnp.mean(r * r, -1, keepdims=True) - mu * mu, 0.0)
+        return (r - mu) * jax.lax.rsqrt(var + 1e-6) * g + bt
+
+    def test_forward_and_gradients(self):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_mlp import (
+            fused_proj_residual_ln,
+        )
+
+        x, a, wo, bo, g, bt, rmask = self._setup()
+        p = (x, a, wo, bo, g, bt)
+        got = fused_proj_residual_ln(
+            x, a, wo, bo, g, bt, rmask, 0.8, interpret=True
+        )
+        np.testing.assert_allclose(
+            got, self._ref(p, rmask, 0.8), atol=1e-5, rtol=1e-5
+        )
+
+        def loss_k(p):
+            return jnp.sum(
+                jnp.tanh(
+                    fused_proj_residual_ln(*p, rmask, 0.8, interpret=True)
+                )
+            )
+
+        def loss_r(p):
+            return jnp.sum(jnp.tanh(self._ref(p, rmask, 0.8)))
+
+        gk = jax.grad(loss_k)(p)
+        gr = jax.grad(loss_r)(p)
+        for A, B in zip(gk, gr):
+            np.testing.assert_allclose(A, B, atol=2e-4, rtol=1e-3)
+
+    def test_eval_no_mask(self):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_mlp import (
+            fused_proj_residual_ln,
+        )
+
+        x, a, wo, bo, g, bt, _ = self._setup(seed=1)
+        got = fused_proj_residual_ln(x, a, wo, bo, g, bt, interpret=True)
+        np.testing.assert_allclose(
+            got, self._ref((x, a, wo, bo, g, bt)), atol=1e-5, rtol=1e-5
+        )
+
+
 class TestTransformerFFW:
     def test_paths_agree_without_dropout(self):
         rng = np.random.default_rng(6)
