@@ -25,6 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+DCN_AXIS = "dcn"
 
 
 def make_mesh(
@@ -32,6 +33,7 @@ def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     axis_name: str = DATA_AXIS,
     model_parallel: int = 1,
+    dcn_slices: int = 1,
 ) -> Mesh:
     """Device mesh over the first ``num_devices`` devices.
 
@@ -41,6 +43,14 @@ def make_mesh(
     feed-forward weights shard over "model" (see :func:`tp_param_spec`);
     XLA's SPMD partitioner inserts the all-gather/reduce-scatter collectives
     over ICI.
+    ``dcn_slices=K``: adds a LEADING "dcn" axis of size K — the multi-slice
+    layout. The dcn axis carries pure data parallelism (the batch shards
+    over ("dcn", "data") jointly and params stay replicated across it), so
+    the only cross-slice collective is the once-per-step gradient psum —
+    the standard slow-outer-network recipe. On real multi-slice hardware
+    the leading axis maps to the slice boundary; on a single slice / CPU
+    mesh it is exercised as a logical axis with identical program
+    structure.
 
     When the default backend has fewer than ``num_devices`` chips, fall back
     to the host CPU device pool (``--xla_force_host_platform_device_count``):
@@ -63,16 +73,31 @@ def make_mesh(
             )
         devices = devices[:num_devices]
     model_parallel = int(model_parallel or 1)
+    dcn_slices = int(dcn_slices or 1)
+    n = len(devices)
+    if n % (model_parallel * dcn_slices):
+        raise ValueError(
+            f"model_parallel={model_parallel} x dcn_slices={dcn_slices} "
+            f"must divide the device count ({n})"
+        )
+    data = n // (model_parallel * dcn_slices)
+    if dcn_slices > 1 and model_parallel > 1:
+        grid = np.array(devices).reshape(dcn_slices, data, model_parallel)
+        return Mesh(grid, (DCN_AXIS, axis_name, MODEL_AXIS))
+    if dcn_slices > 1:
+        grid = np.array(devices).reshape(dcn_slices, data)
+        return Mesh(grid, (DCN_AXIS, axis_name))
     if model_parallel > 1:
-        n = len(devices)
-        if n % model_parallel:
-            raise ValueError(
-                f"model_parallel={model_parallel} must divide the device "
-                f"count ({n})"
-            )
-        grid = np.array(devices).reshape(n // model_parallel, model_parallel)
+        grid = np.array(devices).reshape(data, model_parallel)
         return Mesh(grid, (axis_name, MODEL_AXIS))
     return Mesh(np.array(devices), (axis_name,))
+
+
+def batch_axes(mesh: Mesh):
+    """The mesh axes the batch dimension shards over (dcn+data jointly)."""
+    if DCN_AXIS in mesh.axis_names:
+        return (DCN_AXIS, DATA_AXIS)
+    return DATA_AXIS
 
 
 def tp_param_spec(path_names: Sequence[str]) -> P:
@@ -159,7 +184,9 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
-    """Shard the leading (batch) dimension across the mesh."""
+    """Shard the leading (batch) dimension across the mesh (incl. dcn)."""
+    if DCN_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P((DCN_AXIS, axis_name)))
     return NamedSharding(mesh, P(axis_name))
 
 

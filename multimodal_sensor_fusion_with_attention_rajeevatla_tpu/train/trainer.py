@@ -184,6 +184,11 @@ class Trainer:
         # (parallel/mesh.py::tp_param_spec); the mesh becomes
         # (num_devices // M) data x M model.
         self.model_parallel = int(par_cfg.get("model_parallel", 1) or 1)
+        # parallel.dcn_slices: K > 1 adds a LEADING "dcn" mesh axis (multi-
+        # slice layout): pure data parallelism across slices — batch shards
+        # over ("dcn", "data"), params replicate, the only cross-slice
+        # collective is the per-step gradient psum (rides DCN on real pods).
+        self.dcn_slices = int(par_cfg.get("dcn_slices", 1) or 1)
         self.mesh = None
 
     # -- mesh / placement ---------------------------------------------------
@@ -193,10 +198,15 @@ class Trainer:
         if self.mesh is None:
             n = resolve_num_devices(self.requested_devices)
             if n > 1:
-                self.mesh = make_mesh(n, model_parallel=self.model_parallel)
-            elif self.model_parallel > 1:
+                self.mesh = make_mesh(
+                    n,
+                    model_parallel=self.model_parallel,
+                    dcn_slices=self.dcn_slices,
+                )
+            elif self.model_parallel > 1 or self.dcn_slices > 1:
                 raise ValueError(
-                    "parallel.model_parallel requires parallel.num_devices > 1"
+                    "parallel.model_parallel / parallel.dcn_slices require "
+                    "parallel.num_devices > 1"
                 )
         return self.mesh
 
@@ -214,7 +224,12 @@ class Trainer:
 
     @property
     def n_shards(self) -> int:
-        return self.mesh.shape["data"] if self.mesh is not None else 1
+        if self.mesh is None:
+            return 1
+        n = self.mesh.shape["data"]
+        if "dcn" in self.mesh.axis_names:
+            n *= self.mesh.shape["dcn"]
+        return n
 
     def _effective_batch(self, batch_size: Optional[int] = None) -> int:
         """Round the batch up to a mesh-divisible size (pad rows get weight 0)."""
@@ -226,6 +241,8 @@ class Trainer:
         """Sharding for the per-epoch ``[S, B]`` index/weight matrices."""
         if self.mesh is None:
             return None
+        if "dcn" in self.mesh.axis_names:
+            return NamedSharding(self.mesh, P(None, ("dcn", "data")))
         return NamedSharding(self.mesh, P(None, "data"))
 
     def _put_step_matrix(self, mat: np.ndarray, dtype) -> jax.Array:
@@ -459,6 +476,8 @@ class Trainer:
     def _batch_sharding(self) -> Optional[NamedSharding]:
         if self.mesh is None:
             return None
+        if "dcn" in self.mesh.axis_names:
+            return NamedSharding(self.mesh, P(("dcn", "data")))
         return NamedSharding(self.mesh, P("data"))
 
     def make_eval_fn(self):
@@ -554,7 +573,16 @@ class Trainer:
 
         mesh = self.mesh
         if mesh is not None and log_fn:
-            if self.model_parallel > 1:
+            if self.dcn_slices > 1:
+                log_fn(
+                    f"multi-slice mesh: {self.dcn_slices} slices x "
+                    f"{mesh.shape['data']} data"
+                    + (f" x {self.model_parallel} model" if self.model_parallel > 1 else "")
+                    + f" devices ({mesh.devices.flat[0].platform}); batch "
+                    "sharded over ('dcn','data'), cross-slice traffic = one "
+                    "gradient psum per step"
+                )
+            elif self.model_parallel > 1:
                 log_fn(
                     f"dp x tp mesh: {self.n_shards} data x "
                     f"{self.model_parallel} model devices "

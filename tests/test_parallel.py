@@ -179,6 +179,82 @@ def test_fit_tensor_parallel_matches_single_device(tiny_model_cfg, tmp_path):
         assert hn["val/loss"] == pytest.approx(h1["val/loss"], rel=2e-3)
 
 
+def test_fit_multislice_matches_single_device(tiny_model_cfg, tmp_path):
+    """3-D dcn x data x model mesh (parallel.dcn_slices=2): the leading
+    slice axis carries pure data parallelism (batch sharded over
+    ('dcn','data'), params replicated across slices) and training matches
+    1-device losses."""
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.data.dataset import (
+        SyntheticMultimodalDataset,
+    )
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.parallel.mesh import (
+        DCN_AXIS,
+        MODEL_AXIS,
+    )
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.train.trainer import (
+        Trainer,
+    )
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.utils.config import (
+        ConfigNode,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs >= 8 devices")
+    dims = {"sensor1": 8, "sensor2": 8}
+    train = SyntheticMultimodalDataset(
+        num_samples=16, num_classes=5, modality_dims=dims,
+        sequence_length=6, split="train",
+    ).windows
+    val = SyntheticMultimodalDataset(
+        num_samples=8, num_classes=5, modality_dims=dims,
+        sequence_length=6, split="val",
+    ).windows
+
+    def run(parallel):
+        cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+        cfg.set_dotted("dataset.batch_size", 8)
+        cfg.set_dotted("training.max_epochs", 2)
+        cfg.set_dotted("model.encoders", {
+            "sensor1": {"type": "sequence", "encoder_type": "transformer",
+                        "input_dim": 8, "num_layers": 1},
+            "sensor2": {"type": "sequence", "encoder_type": "transformer",
+                        "input_dim": 8, "num_layers": 1},
+        })
+        cfg.set_dotted("parallel", parallel)
+        trainer = Trainer(cfg)
+        results = trainer.fit(
+            train, val, save_dir=tmp_path / f"ms{len(parallel)}", log_fn=None
+        )
+        return trainer, results
+
+    t1, r1 = run({})
+    tn, rn = run({"num_devices": 8, "dcn_slices": 2, "model_parallel": 2})
+    assert tn.mesh is not None
+    assert tn.mesh.shape[DCN_AXIS] == 2
+    assert tn.mesh.shape["data"] == 2 and tn.mesh.shape[MODEL_AXIS] == 2
+    assert tn.n_shards == 4  # dcn x data batch shards
+    for h1, hn in zip(r1["history"], rn["history"]):
+        assert hn["train/loss"] == pytest.approx(h1["train/loss"], rel=2e-3)
+        assert hn["val/loss"] == pytest.approx(h1["val/loss"], rel=2e-3)
+
+
+def test_make_mesh_dcn_shapes():
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.parallel.mesh import (
+        DCN_AXIS,
+        batch_sharding,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs >= 8 devices")
+    mesh = make_mesh(8, dcn_slices=2)
+    assert mesh.axis_names == (DCN_AXIS, "data")
+    assert mesh.shape[DCN_AXIS] == 2 and mesh.shape["data"] == 4
+    spec = batch_sharding(mesh).spec
+    assert spec == P((DCN_AXIS, "data"))
+    with pytest.raises(ValueError, match="divide"):
+        make_mesh(8, dcn_slices=3)
+
+
 def test_tp_param_spec_rule():
     from jax.sharding import PartitionSpec as P
 
