@@ -111,13 +111,14 @@ class _RNNStack(nn.Module):
                         c_new = keep * c_new + (1 - keep) * c
                     return (h_new, c_new), h_new
 
-                xs = (x_proj, step_valid) if step_valid is not None else (x_proj, None)
                 if step_valid is None:
                     (h_final, _), outputs = jax.lax.scan(
                         lambda carry, xp: lstm_step(carry, (xp, None)), (h0, c0), x_proj
                     )
                 else:
-                    (h_final, _), outputs = jax.lax.scan(lstm_step, (h0, c0), xs)
+                    (h_final, _), outputs = jax.lax.scan(
+                        lstm_step, (h0, c0), (x_proj, step_valid)
+                    )
             else:
 
                 def gru_step(carry, xs):
@@ -241,6 +242,16 @@ class _TransformerEncoderLayer(nn.Module):
     ) -> jax.Array:
         head_dim = self.hidden_dim // self.num_heads
         batch, seq_len, _ = x.shape
+        # jax.default_backend() INITIALISES the default backend — only consult
+        # it when a Pallas path is actually enabled, so hermetic CPU-mesh runs
+        # with every kernel flag pinned off never touch a (possibly broken)
+        # tunneled-TPU default backend (CLAUDE.md contract; the value is
+        # unused when no kernel flag is on).
+        interpret = (
+            jax.default_backend() != "tpu"
+            if (self.use_flash or self.use_fused_mlp)
+            else True
+        )
 
         # q/k/v params keep their separate nn.Dense checkpoint names, but the
         # projections run as ONE [H, 3H] matmul: x is read from HBM once
@@ -276,7 +287,7 @@ class _TransformerEncoderLayer(nn.Module):
                 k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3),
                 lengths,
-                interpret=jax.default_backend() != "tpu",
+                interpret=interpret,
             ).transpose(0, 2, 1, 3).reshape(batch, seq_len, self.hidden_dim)
             attended = attended.astype(x.dtype)
         else:
@@ -310,7 +321,6 @@ class _TransformerEncoderLayer(nn.Module):
                 keep_prob,
                 (batch, seq_len, self.hidden_dim),
             )
-        interpret = jax.default_backend() != "tpu"
         cd = self.dtype or jnp.float32
         # TRAIN-only kernel: in the pipelined eval regime XLA's own fusion of
         # this matmul+elementwise chain measured faster (10,496 vs 10,107
@@ -363,7 +373,6 @@ class _TransformerEncoderLayer(nn.Module):
         # the same draws (backend-independent training semantics). Plain
         # threefry bernoulli: a 4-masks-per-word packed variant was measured
         # SLOWER on TPU (docs/notes.md "negative results") and was removed.
-        keep_prob = 1.0 - self.dropout
         if train and self.dropout > 0.0:
             keep_mask = jax.random.bernoulli(
                 self.make_rng("dropout"),
@@ -375,7 +384,6 @@ class _TransformerEncoderLayer(nn.Module):
                 keep_prob,
                 (batch, seq_len, self.hidden_dim),
             )
-        interpret = jax.default_backend() != "tpu"
         if self.use_fused_mlp and self.use_fused_mlp_ln:
             # whole second half of the layer in ONE kernel: FFW + residual
             # dropout + add + LayerNorm (ops/pallas_mlp.py). Neither the

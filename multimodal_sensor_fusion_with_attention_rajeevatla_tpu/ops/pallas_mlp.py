@@ -62,6 +62,14 @@ def dense_params_init(d_in: int, d_out: int):
     return init
 
 
+def _inv_keep(keep_prob: float) -> float:
+    """``1/keep_prob`` with the ``p = 1`` edge defined: at ``keep_prob == 0``
+    the externally drawn mask is all-drop, so the scale is never applied to a
+    surviving element — return 0.0 instead of dividing by zero (torch
+    ``Dropout(p=1)`` semantics: the output is exactly zero, not NaN)."""
+    return 0.0 if keep_prob <= 0.0 else float(1.0 / keep_prob)
+
+
 def _pick_block_rows(d_ff: int, budget_bytes: int) -> int:
     """Row-tile size so the in-VMEM hidden tile stays within budget."""
     rows = budget_bytes // max(1, d_ff * 4)
@@ -315,12 +323,12 @@ def _mlp_core_fwd(config, x, w1, b1, w2, b2, mask):
         x, w1, b1, w2, b2, mask,
         has_mask=has_mask, inv_keep=inv_keep, interpret=interpret,
     )
-    return out, (x, w1, b1, w2, mask)
+    return out, (x, w1, b1, w2, b2, mask)
 
 
 def _mlp_core_bwd(config, res, dout):
     has_mask, inv_keep, interpret = config
-    x, w1, b1, w2, mask = res
+    x, w1, b1, w2, b2, mask = res
     dx, dw1, db1, dw2 = _mlp_backward(
         x, w1, b1, w2, mask, dout,
         has_mask=has_mask, inv_keep=inv_keep, interpret=interpret,
@@ -331,7 +339,7 @@ def _mlp_core_bwd(config, res, dout):
         dw1.astype(w1.dtype),
         db1.astype(b1.dtype),
         dw2.astype(w2.dtype),
-        db2.astype(b1.dtype),
+        db2.astype(b2.dtype),
         np.zeros(mask.shape, jax.dtypes.float0),
     )
 
@@ -361,7 +369,7 @@ def fused_mlp(
         mask = keep_mask.astype(jnp.uint8)
     else:
         mask = jnp.zeros((8, 128), jnp.uint8)  # placeholder, never read
-    config = (has_mask, float(1.0 / keep_prob), bool(interpret))
+    config = (has_mask, _inv_keep(keep_prob), bool(interpret))
     return _mlp_core(config, x, w1, b1, w2, b2, mask)
 
 
@@ -779,7 +787,7 @@ def fused_mlp_residual_ln(
         res_mask.astype(jnp.uint8) if has_rmask
         else jnp.zeros((8, 128), jnp.uint8)
     )
-    config = (has_fmask, has_rmask, float(1.0 / keep_prob), float(eps),
+    config = (has_fmask, has_rmask, _inv_keep(keep_prob), float(eps),
               bool(interpret))
     return _ffw_ln_core(config, x, w1, b1, w2, b2, gamma, beta, fmask, rmask)
 
@@ -964,7 +972,7 @@ def _proj_ln_backward(x, a, wo, bo, gamma, beta, rmask, dout, *, inv_keep, eps, 
         ),
         out_shape=(
             jax.ShapeDtypeStruct((rows, d), dx_dtype),
-            jax.ShapeDtypeStruct((rows, d), dx_dtype),
+            jax.ShapeDtypeStruct((rows, d), a.dtype),
             jax.ShapeDtypeStruct((d, d), jnp.float32),
             jax.ShapeDtypeStruct((8, d), jnp.float32),
             jax.ShapeDtypeStruct((8, d), jnp.float32),
@@ -1028,5 +1036,5 @@ def fused_proj_residual_ln(
         res_mask.astype(jnp.uint8) if has_rmask
         else jnp.zeros((8, 128), jnp.uint8)
     )
-    config = (has_rmask, float(1.0 / keep_prob), float(eps), bool(interpret))
+    config = (has_rmask, _inv_keep(keep_prob), float(eps), bool(interpret))
     return _proj_ln_core(config, x, attended, wo, bo, gamma, beta, rmask)

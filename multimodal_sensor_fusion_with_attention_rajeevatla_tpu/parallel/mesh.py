@@ -82,9 +82,11 @@ def make_mesh(
         )
     data = n // (model_parallel * dcn_slices)
     if dcn_slices > 1 and model_parallel > 1:
+        devices = _slice_grouped(devices, dcn_slices)
         grid = np.array(devices).reshape(dcn_slices, data, model_parallel)
         return Mesh(grid, (DCN_AXIS, axis_name, MODEL_AXIS))
     if dcn_slices > 1:
+        devices = _slice_grouped(devices, dcn_slices)
         grid = np.array(devices).reshape(dcn_slices, data)
         return Mesh(grid, (DCN_AXIS, axis_name))
     if model_parallel > 1:
@@ -93,11 +95,28 @@ def make_mesh(
     return Mesh(np.array(devices), (axis_name,))
 
 
-def batch_axes(mesh: Mesh):
-    """The mesh axes the batch dimension shards over (dcn+data jointly)."""
-    if DCN_AXIS in mesh.axis_names:
-        return (DCN_AXIS, DATA_AXIS)
-    return DATA_AXIS
+def _slice_grouped(devices, dcn_slices: int):
+    """Order devices so equal-size contiguous groups align with REAL slice
+    boundaries — ``jax.devices()`` order is not contractually
+    slice-contiguous on a multi-slice pod, and a raw reshape could put
+    devices from different slices in the same ici row (per-step tp/dp
+    collectives would then ride the slow DCN). On virtual/CPU meshes (no
+    ``slice_index`` attribute) the given order is kept: the dcn axis is a
+    logical axis there, exercised for program-structure parity only."""
+    idx = [getattr(d, "slice_index", None) for d in devices]
+    if any(i is None for i in idx):
+        return list(devices)
+    ordered = sorted(devices, key=lambda d: (d.slice_index, d.id))
+    per = len(ordered) // dcn_slices
+    for g in range(dcn_slices):
+        group = ordered[g * per:(g + 1) * per]
+        if len({d.slice_index for d in group}) != 1:
+            raise ValueError(
+                f"dcn_slices={dcn_slices} does not match the hardware slice "
+                f"layout (found slice indices {sorted(set(idx))} over "
+                f"{len(ordered)} devices)"
+            )
+    return ordered
 
 
 def tp_param_spec(path_names: Sequence[str]) -> P:

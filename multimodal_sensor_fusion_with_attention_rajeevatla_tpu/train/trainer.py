@@ -476,9 +476,9 @@ class Trainer:
     def _batch_sharding(self) -> Optional[NamedSharding]:
         if self.mesh is None:
             return None
-        if "dcn" in self.mesh.axis_names:
-            return NamedSharding(self.mesh, P(("dcn", "data")))
-        return NamedSharding(self.mesh, P("data"))
+        from ..parallel.mesh import batch_sharding
+
+        return batch_sharding(self.mesh)
 
     def make_eval_fn(self):
         """Build ``eval_fn(variables, data, idx [S,B]) -> logits [S,B,C]``."""

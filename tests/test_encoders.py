@@ -232,3 +232,28 @@ class TestMaskedBatchNormCNN:
         # poison the padded tails; valid-region outputs must be identical
         poisoned = x.at[1, 9:].set(1e3).at[2, 5:].set(-1e3)
         np.testing.assert_allclose(run(poisoned), base, rtol=1e-5, atol=1e-5)
+
+
+def test_transformer_hermetic_without_kernel_flags(monkeypatch):
+    """With every Pallas flag pinned off, tracing the transformer encoder must
+    never consult ``jax.default_backend()`` — calling it INITIALISES the
+    default backend, which on hermetic CPU-mesh paths (dryrun_multichip,
+    forced-CPU training) can be a broken tunneled TPU (CLAUDE.md contract;
+    round-2 review regression)."""
+    enc = SequenceEncoder(
+        hidden_dim=16, output_dim=8, num_layers=1, encoder_type="transformer",
+        dropout=0.1, flash_attention=False, fused_mlp=False, fused_mlp_ln=False,
+    )
+    x = jnp.ones((2, 6, 4), jnp.float32)
+    variables = enc.init(jax.random.PRNGKey(0), x)
+
+    def _boom():
+        raise AssertionError(
+            "jax.default_backend() consulted on the kernel-free path"
+        )
+
+    monkeypatch.setattr(jax, "default_backend", _boom)
+    out = enc.apply(
+        variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)}
+    )
+    assert out.shape == (2, 8)

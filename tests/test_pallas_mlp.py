@@ -409,3 +409,78 @@ def test_fused_mlp_flag_parsing(raw, expected):
         assert _parse_backend_flag(raw, "fused_mlp") is False
     else:
         assert _parse_backend_flag(raw, "fused_mlp") is expected
+
+
+class TestEdgeCases:
+    """Round-2 review regressions: p=1 dropout and mixed-dtype cotangents."""
+
+    def test_dropout_p1_matches_unfused_semantics(self):
+        # dropout: 1.0 => keep_prob 0 and an all-drop mask. The kernel must
+        # realise torch Dropout(p=1) semantics (hidden zeroed, second bias
+        # still passes), not divide by zero.
+        rng = np.random.default_rng(20)
+        x, w1, b1, w2, b2 = _params(rng, 32, 16, 64, 16)
+        mask = jnp.zeros((32, 64), jnp.uint8)
+        got = fused_mlp(x, w1, b1, w2, b2, mask, keep_prob=0.0, interpret=True)
+        np.testing.assert_allclose(
+            got, jnp.broadcast_to(b2, got.shape), atol=1e-6
+        )
+
+    def test_proj_ln_dropout_p1_is_layernorm_of_residual(self):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_mlp import (
+            fused_proj_residual_ln,
+        )
+
+        rng = np.random.default_rng(21)
+        n, d = 16, 32
+        x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+        a = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+        wo = jnp.asarray(rng.standard_normal((d, d)) * 0.1, jnp.float32)
+        bo = jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32)
+        gamma = jnp.ones((d,), jnp.float32)
+        beta = jnp.zeros((d,), jnp.float32)
+        mask = jnp.zeros((n, d), jnp.uint8)
+        got = fused_proj_residual_ln(
+            x, a, wo, bo, gamma, beta,
+            res_mask=mask, keep_prob=0.0, interpret=True,
+        )
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+        ref = (x - mu) * jax.lax.rsqrt(var + 1e-6)
+        np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+    def test_bf16_b2_cotangent_dtype(self):
+        # custom-VJP cotangents must carry each primal's own dtype: a bf16 b2
+        # used to get a db2 in b1's dtype (copy-paste), which jax.grad rejects
+        rng = np.random.default_rng(22)
+        x, w1, b1, w2, b2 = _params(rng, 16, 8, 32, 8)
+        b2 = b2.astype(jnp.bfloat16)
+
+        def loss(b2_):
+            return jnp.sum(fused_mlp(x, w1, b1, w2, b2_, interpret=True) ** 2)
+
+        g = jax.grad(loss)(b2)
+        assert g.dtype == jnp.bfloat16
+
+    def test_bf16_attended_cotangent_dtype(self):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_mlp import (
+            fused_proj_residual_ln,
+        )
+
+        rng = np.random.default_rng(23)
+        n, d = 16, 32
+        x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+        a = jnp.asarray(rng.standard_normal((n, d)), jnp.bfloat16)
+        wo = jnp.asarray(rng.standard_normal((d, d)) * 0.1, jnp.float32)
+        bo = jnp.zeros((d,), jnp.float32)
+        gamma = jnp.ones((d,), jnp.float32)
+        beta = jnp.zeros((d,), jnp.float32)
+
+        def loss(a_):
+            out = fused_proj_residual_ln(
+                x, a_, wo, bo, gamma, beta, interpret=True
+            )
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss)(a)
+        assert g.dtype == jnp.bfloat16

@@ -319,3 +319,48 @@ def test_trainer_epoch_sharded_matches_replicated(tiny_model_cfg):
     loss_sh, acc_sh = run(shard=True)
     assert loss_sh == pytest.approx(loss_rep, rel=1e-4)
     assert acc_sh == pytest.approx(acc_rep, rel=1e-4)
+
+
+class _FakeDev:
+    """Stands in for a TPU device on a multi-slice pod."""
+
+    def __init__(self, dev_id, slice_index):
+        self.id = dev_id
+        self.slice_index = slice_index
+
+    def __repr__(self):  # np.array(devices) needs a repr for errors
+        return f"FakeDev(id={self.id}, slice={self.slice_index})"
+
+
+class TestSliceGrouping:
+    """jax.devices() order is not contractually slice-contiguous: the dcn
+    axis must be built from slice-grouped devices or per-step collectives
+    silently cross the slow DCN (round-2 review regression)."""
+
+    def test_interleaved_devices_are_regrouped(self):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.parallel.mesh import (
+            _slice_grouped,
+        )
+
+        devs = [_FakeDev(0, 0), _FakeDev(1, 1), _FakeDev(2, 0), _FakeDev(3, 1)]
+        out = _slice_grouped(devs, 2)
+        assert [(d.slice_index, d.id) for d in out] == [
+            (0, 0), (0, 2), (1, 1), (1, 3),
+        ]
+
+    def test_mismatched_slice_layout_raises(self):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.parallel.mesh import (
+            _slice_grouped,
+        )
+
+        devs = [_FakeDev(0, 0), _FakeDev(1, 0), _FakeDev(2, 0), _FakeDev(3, 1)]
+        with pytest.raises(ValueError, match="slice layout"):
+            _slice_grouped(devs, 2)
+
+    def test_virtual_devices_pass_through(self):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.parallel.mesh import (
+            _slice_grouped,
+        )
+
+        devs = jax.devices()  # host CPU devices: no slice_index attribute
+        assert _slice_grouped(devs, 2) == list(devs)
