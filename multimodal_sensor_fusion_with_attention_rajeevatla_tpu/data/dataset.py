@@ -659,3 +659,31 @@ def simulate_missing_modalities(
         if np.all(mask[..., i] == 0):
             out[modality] = np.zeros_like(out[modality])
     return out, mask
+
+
+def padded_index_matrix(
+    n: int, batch_size: int, shuffle: bool = False, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """``[S, B]`` gather-index matrix + validity weights for fixed-batch scans.
+
+    The single source of the pad-and-reshape contract used by the training
+    epoch, the jitted evaluators, and the MC-dropout sweep (it used to live
+    in three copies). Tail slots of the final partial batch WRAP AROUND the
+    epoch order instead of all duplicating window 0: their loss weight is 0
+    either way, but batch-statistics consumers (BatchNorm running stats on
+    the CNN path) see representative rows rather than ``pad`` copies of one
+    window every epoch. Consumers that only want indices slice ``[:n]`` after
+    flattening their outputs.
+    """
+    order = (
+        np.random.default_rng(seed).permutation(n) if shuffle else np.arange(n)
+    )
+    steps = (n + batch_size - 1) // batch_size
+    idx = np.resize(order, steps * batch_size)  # cyclic wrap-around pad
+    weight = np.concatenate(
+        [np.ones(n, np.float32), np.zeros(steps * batch_size - n, np.float32)]
+    )
+    return (
+        idx.reshape(steps, batch_size).astype(np.int32),
+        weight.reshape(steps, batch_size),
+    )

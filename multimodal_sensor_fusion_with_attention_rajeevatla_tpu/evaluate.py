@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .data.dataset import WindowedSplit, create_datasets
+from .data.dataset import WindowedSplit, create_datasets, padded_index_matrix
 from .data.device import DeviceSplit, device_put_split
 from .models.module import MultimodalFusionModel
 from .ops.metrics import cross_entropy_loss, macro_f1
@@ -40,20 +40,26 @@ from .uncertainty import CalibrationMetrics
 
 
 def _index_matrix(n: int, batch_size: int) -> Tuple[np.ndarray, int]:
-    steps = (n + batch_size - 1) // batch_size
-    idx = np.concatenate([np.arange(n), np.zeros(steps * batch_size - n, np.int64)])
-    return idx.reshape(steps, batch_size).astype(np.int32), steps
+    idx, _ = padded_index_matrix(n, batch_size)
+    return idx, idx.shape[0]
 
 
-def forward_all(
-    model: MultimodalFusionModel,
-    variables: Dict[str, Any],
-    data: DeviceSplit,
-    batch_size: int = 32,
-) -> np.ndarray:
-    """Jitted full-split forward -> ``[N, C]`` logits."""
-    n = data.num_windows
-    idx_mat, _ = _index_matrix(n, batch_size)
+# jitted forward programs cached per model: a fresh @jax.jit closure per
+# forward_all call would miss jax's trace cache every time — an ensemble
+# sweep or a temperature-scaling val pass would then pay one full retrace
+# (minutes cold on the tunneled TPU) PER call at identical shapes. Keyed by
+# the model dataclass itself when hashable (flax modules hash by fields).
+_FORWARD_FN_CACHE: Dict[Any, Any] = {}
+
+
+def _forward_fn(model: MultimodalFusionModel):
+    # keyed by the module's repr: flax dataclass reprs print every field
+    # (identical repr => identical config => identical apply), and the dict
+    # -valued encoder_configs field makes the module itself unhashable
+    key = repr(model)
+    cached = _FORWARD_FN_CACHE.get(key)
+    if cached is not None:
+        return cached
 
     @jax.jit
     def run(variables, data, idx_mat):
@@ -65,7 +71,20 @@ def forward_all(
         _, logits = jax.lax.scan(body, None, idx_mat)
         return logits
 
-    logits = run(variables, data, jnp.asarray(idx_mat))
+    _FORWARD_FN_CACHE[key] = run
+    return run
+
+
+def forward_all(
+    model: MultimodalFusionModel,
+    variables: Dict[str, Any],
+    data: DeviceSplit,
+    batch_size: int = 32,
+) -> np.ndarray:
+    """Jitted full-split forward -> ``[N, C]`` logits."""
+    n = data.num_windows
+    idx_mat, _ = _index_matrix(n, batch_size)
+    logits = _forward_fn(model)(variables, data, jnp.asarray(idx_mat))
     return np.asarray(logits).reshape(-1, logits.shape[-1])[:n]
 
 

@@ -42,6 +42,7 @@ class CheckpointManager:
         config: Optional[ConfigNode] = None,
         save_top_k: int = 3,
         save_last: bool = True,
+        adopt_existing: bool = True,
     ):
         self.directory = Path(directory)
         self.directory.mkdir(parents=True, exist_ok=True)
@@ -50,13 +51,17 @@ class CheckpointManager:
         self.save_last = save_last
         self._entries: List[Tuple[float, Path]] = []  # (score, path)
         # adopt checkpoints already on disk (mid-run resume): top-k tracking
-        # and best_model_path must span the whole run, not just this process
-        for existing in sorted(self.directory.glob("epoch=*-val_loss=*")):
-            try:
-                score = float(existing.name.rsplit("val_loss=", 1)[1])
-            except ValueError:
-                continue
-            self._entries.append((score, existing))
+        # and best_model_path must span the whole run, not just this process.
+        # A FRESH run into a reused save_dir must NOT adopt (a previous run's
+        # better checkpoint would silently win best_model_path/test metrics)
+        # — the Trainer passes adopt_existing only under resume_from.
+        if adopt_existing:
+            for existing in sorted(self.directory.glob("epoch=*-val_loss=*")):
+                try:
+                    score = float(existing.name.rsplit("val_loss=", 1)[1])
+                except ValueError:
+                    continue
+                self._entries.append((score, existing))
 
     @property
     def best_model_path(self) -> Optional[str]:
@@ -69,6 +74,18 @@ class CheckpointManager:
         if not self._entries:
             return None
         return float(min(self._entries, key=lambda e: e[0])[0])
+
+    @property
+    def best_model_epoch(self) -> Optional[int]:
+        """Epoch of the best entry (parsed from ``epoch=N-val_loss=...``);
+        lets a resumed run restore its early-stopping patience counter."""
+        if not self._entries:
+            return None
+        path = min(self._entries, key=lambda e: e[0])[1]
+        try:
+            return int(path.name.split("epoch=", 1)[1].split("-", 1)[0])
+        except (IndexError, ValueError):
+            return None
 
     def _write(
         self,

@@ -471,6 +471,8 @@ class Trainer:
             state, loss, acc = step_fn(state, features, labels, mask, lengths, weight)
             losses.append(loss)
             accs.append(acc)
+        if not losses:  # empty split: degrade to NaN like the scan path
+            return state, float("nan"), float("nan")
         return state, float(jnp.mean(jnp.stack(losses))), float(jnp.mean(jnp.stack(accs)))
 
     def _batch_sharding(self) -> Optional[NamedSharding]:
@@ -500,19 +502,9 @@ class Trainer:
     # -- host-side epoch orchestration ------------------------------------
     @staticmethod
     def _index_matrix(n: int, batch_size: int, shuffle: bool, seed: int):
-        order = (
-            np.random.default_rng(seed).permutation(n) if shuffle else np.arange(n)
-        )
-        steps = (n + batch_size - 1) // batch_size
-        pad = steps * batch_size - n
-        idx = np.concatenate([order, np.zeros(pad, dtype=order.dtype)])
-        weight = np.concatenate(
-            [np.ones(n, np.float32), np.zeros(pad, np.float32)]
-        )
-        return (
-            idx.reshape(steps, batch_size).astype(np.int32),
-            weight.reshape(steps, batch_size),
-        )
+        from ..data.dataset import padded_index_matrix
+
+        return padded_index_matrix(n, batch_size, shuffle=shuffle, seed=seed)
 
     def evaluate_logits(
         self, variables, data: DeviceSplit, batch_size: Optional[int] = None
@@ -629,6 +621,10 @@ class Trainer:
             config=cfg,
             save_top_k=int(exp_cfg.get("save_top_k", 3)),
             save_last=True,
+            # only a resumed run may adopt checkpoints already in save_dir; a
+            # fresh run into a reused dir must not let a previous config's
+            # better checkpoint win best_model_path / the test metric
+            adopt_existing=resume_from is not None,
         )
         writer = None
         try:
@@ -640,6 +636,12 @@ class Trainer:
 
         best_val = float("inf")
         bad_epochs = 0
+        if resume_from is not None and ckpt.best_model_score is not None:
+            # restore early-stopping state so interrupted and uninterrupted
+            # runs of the same config stop at the same epoch
+            best_val = float(ckpt.best_model_score)
+            if ckpt.best_model_epoch is not None:
+                bad_epochs = max(0, start_epoch - 1 - ckpt.best_model_epoch)
         history = []
         t_start = time.perf_counter()
         for epoch in range(start_epoch, max_epochs):
@@ -699,8 +701,10 @@ class Trainer:
                 best_val = val_loss
                 bad_epochs = 0
             else:
+                # Lightning EarlyStopping semantics: stop once the counter
+                # REACHES patience (wait_count >= patience), not one later
                 bad_epochs += 1
-                if bad_epochs > patience:
+                if bad_epochs >= patience:
                     if log_fn:
                         log_fn(f"early stopping at epoch {epoch} (patience {patience})")
                     break
@@ -708,7 +712,11 @@ class Trainer:
         wall = time.perf_counter() - t_start
         results: Dict[str, Any] = {
             "best_model_path": ckpt.best_model_path or "",
-            "best_val_loss": float(ckpt.best_model_score or best_val),
+            "best_val_loss": float(
+                ckpt.best_model_score
+                if ckpt.best_model_score is not None  # 0.0 is a real score
+                else best_val
+            ),
             "config": cfg.to_container(resolve=True),
         }
 

@@ -60,17 +60,16 @@ class CalibrationMetrics:
         predictions = np.asarray(predictions)
         labels = np.asarray(labels)
 
+        # the one frozen binning implementation (equal-width, right-closed
+        # final bin) lives in ops/metrics._bin_stats — the plotted bars and
+        # the reported ECE must come from the same binning
+        from .ops.metrics import _bin_stats
+
         bin_edges = np.linspace(0.0, 1.0, num_bins + 1)
         centers = (bin_edges[:-1] + bin_edges[1:]) / 2
-        bin_ids = np.clip(
-            np.floor(confidences * num_bins).astype(np.int64), 0, num_bins - 1
+        _counts, _avg_conf, accuracies, _nz = _bin_stats(
+            confidences, predictions, labels, num_bins
         )
-        accuracies = np.zeros(num_bins)
-        counts = np.bincount(bin_ids, minlength=num_bins)
-        correct = (predictions == labels).astype(np.float64)
-        acc_sums = np.bincount(bin_ids, weights=correct, minlength=num_bins)
-        nz = counts > 0
-        accuracies[nz] = acc_sums[nz] / counts[nz]
 
         fig, ax = plt.subplots(figsize=(6, 5))
         ax.bar(
@@ -174,12 +173,10 @@ def mc_dropout_over_split(
     still covering every window. Returns host ``(mean_logits [N, C],
     predictive_variance [N])``.
     """
+    from .data.dataset import padded_index_matrix
+
     n = data.num_windows
-    steps = (n + batch_size - 1) // batch_size
-    idx_flat = np.concatenate(
-        [np.arange(n), np.zeros(steps * batch_size - n, np.int64)]
-    )
-    idx_mat = jnp.asarray(idx_flat.reshape(steps, batch_size), jnp.int32)
+    idx_mat = jnp.asarray(padded_index_matrix(n, batch_size)[0])
     keys = jax.random.split(jax.random.PRNGKey(seed), num_samples)
     has_batch_stats = "batch_stats" in variables
     num_mod = len(data.modalities)

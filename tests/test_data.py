@@ -282,3 +282,42 @@ def test_streaming_device_loader_yields_all_batches():
     import jax
 
     assert isinstance(l, jax.Array)
+
+
+class TestPaddedIndexMatrix:
+    """Shared [S, B] batch-plan contract (round-2 review: was 3 copies)."""
+
+    def test_wraparound_padding_and_weights(self):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.data.dataset import (
+            padded_index_matrix,
+        )
+
+        idx, w = padded_index_matrix(10, 4)
+        assert idx.shape == (3, 4) and w.shape == (3, 4)
+        # real slots in order, tail wraps around the epoch order (NOT all
+        # window 0 — BatchNorm running stats must not see one window 3x)
+        np.testing.assert_array_equal(idx.ravel()[:10], np.arange(10))
+        np.testing.assert_array_equal(idx.ravel()[10:], [0, 1])
+        np.testing.assert_array_equal(w.ravel(), [1] * 10 + [0, 0])
+
+    def test_shuffle_is_a_seeded_permutation(self):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.data.dataset import (
+            padded_index_matrix,
+        )
+
+        idx1, w1 = padded_index_matrix(8, 4, shuffle=True, seed=3)
+        idx2, _ = padded_index_matrix(8, 4, shuffle=True, seed=3)
+        np.testing.assert_array_equal(idx1, idx2)
+        assert sorted(idx1.ravel()) == list(range(8))
+        np.testing.assert_array_equal(w1, np.ones((2, 4), np.float32))
+
+    def test_batch_larger_than_split_wraps_cyclically(self):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.data.dataset import (
+            padded_index_matrix,
+        )
+
+        idx, w = padded_index_matrix(3, 8)
+        assert idx.shape == (1, 8)
+        np.testing.assert_array_equal(idx.ravel(), [0, 1, 2, 0, 1, 2, 0, 1])
+        np.testing.assert_array_equal(w.ravel()[:3], [1, 1, 1])
+        assert w.ravel()[3:].sum() == 0

@@ -294,3 +294,45 @@ def test_gradient_accumulation_trains(tiny_model_cfg, tmp_path):
     assert np.isfinite(results["history"][-1]["train/loss"])
     # loss should still move (updates are happening)
     assert results["history"][-1]["train/loss"] != results["history"][0]["train/loss"]
+
+
+def test_fresh_fit_does_not_adopt_stale_checkpoints(tmp_path):
+    """A fresh (non-resume) manager over a reused dir must NOT let a previous
+    run's better checkpoint win best_model_path (round-2 review)."""
+    stale = CheckpointManager(tmp_path, save_top_k=2, save_last=False)
+    stale.save({"params": {"w": np.ones(2)}}, 0, 0.1)  # a very good old run
+
+    fresh = CheckpointManager(
+        tmp_path, save_top_k=2, save_last=False, adopt_existing=False
+    )
+    assert fresh.best_model_score is None
+    fresh.save({"params": {"w": np.zeros(2)}}, 0, 0.8)
+    assert fresh.best_model_score == pytest.approx(0.8)
+
+
+def test_best_model_epoch_parses_checkpoint_name(tmp_path):
+    mgr = CheckpointManager(tmp_path, save_top_k=3, save_last=False)
+    variables = {"params": {"w": np.ones(2)}}
+    mgr.save(variables, 0, 0.9)
+    mgr.save(variables, 4, 0.2)
+    mgr.save(variables, 7, 0.5)
+    assert mgr.best_model_epoch == 4
+
+
+def test_early_stopping_patience_is_lightning_semantics(
+    tiny_model_cfg, tmp_path
+):
+    """stop once the non-improving count REACHES patience (wait >= patience),
+    i.e. patience=1 + lr=0 trains exactly 2 epochs (round-2 review)."""
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.utils.config import (
+        ConfigNode,
+    )
+
+    cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+    cfg.set_dotted("training.max_epochs", 30)
+    cfg.set_dotted("training.early_stopping_patience", 1)
+    cfg.set_dotted("training.learning_rate", 0.0)
+    trainer = Trainer(cfg)
+    train_w, val_w, _ = _splits(num=32)
+    results = trainer.fit(train_w, val_w, save_dir=tmp_path, log_fn=None)
+    assert len(results["history"]) == 2
