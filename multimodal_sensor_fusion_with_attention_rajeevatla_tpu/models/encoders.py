@@ -232,6 +232,16 @@ class _TransformerEncoderLayer(nn.Module):
     # on the real chip — HEAD's default path must only use TPU-proven
     # kernels (the driver benches HEAD unattended).
     use_fused_mlp_ln: bool = False
+    # Megatron-style SEQUENCE PARALLELISM over the mesh's "model" axis
+    # (parallel.sequence_parallel): the norm/dropout/residual regions hold
+    # their [B, T, H] activations sharded on T across the tensor-parallel
+    # group (1/M of the work and memory per chip) instead of M redundant
+    # replicas; XLA materialises the boundary collectives (all-gather into
+    # the attention/FFW matmuls, reduce-scatter back out) from the
+    # region-boundary sharding constraints below. Only meaningful with an
+    # active tensor-parallel mesh (parallel/mesh.py::activation_mesh);
+    # otherwise every constraint is a no-op.
+    seq_parallel: bool = False
 
     @nn.compact
     def __call__(
@@ -240,8 +250,21 @@ class _TransformerEncoderLayer(nn.Module):
         key_padding_mask: Optional[jax.Array] = None,  # [B, T], 1 = valid
         train: bool = False,
     ) -> jax.Array:
+        if self.seq_parallel:
+            from ..parallel.mesh import (
+                seq_gathered_constraint as _gather,
+                seq_sharded_constraint as _shard_t,
+            )
+        else:
+            def _gather(a):
+                return a
+
+            _shard_t = _gather
         head_dim = self.hidden_dim // self.num_heads
         batch, seq_len, _ = x.shape
+        # layer input lives in a norm-region layout (sequence-sharded); the
+        # qkv projection below re-enters a tensor-parallel region
+        x = _shard_t(x)
         # jax.default_backend() INITIALISES the default backend — only consult
         # it when a Pallas path is actually enabled, so hermetic CPU-mesh runs
         # with every kernel flag pinned off never touch a (possibly broken)
@@ -264,7 +287,7 @@ class _TransformerEncoderLayer(nn.Module):
             [pq["kernel"], pk["kernel"], pv["kernel"]], axis=1
         ).astype(cd)
         b_qkv = jnp.concatenate([pq["bias"], pk["bias"], pv["bias"]]).astype(cd)
-        qkv = (x.astype(cd) @ w_qkv + b_qkv).reshape(
+        qkv = (_gather(x).astype(cd) @ w_qkv + b_qkv).reshape(
             batch, seq_len, 3, self.num_heads, head_dim
         )
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
@@ -349,6 +372,10 @@ class _TransformerEncoderLayer(nn.Module):
                 ).astype(jnp.float32)
                 + po["bias"]
             )
+            # out-projection output re-enters the norm region: sharding it on
+            # T here turns the boundary into a reduce-scatter and keeps the
+            # residual dropout + add + norm1 work sequence-sharded
+            y = _shard_t(y)
             if att_mask is not None:
                 y = jnp.where(att_mask, y / keep_prob, 0.0)
             r = x.astype(jnp.float32) + y
@@ -358,6 +385,10 @@ class _TransformerEncoderLayer(nn.Module):
             )
             xhat = (r - mu) * jax.lax.rsqrt(var + 1e-6)
             x = (xhat * pn1["scale"] + pn1["bias"]).astype(x.dtype)
+        # the FFW matmuls below are the layer's second tensor-parallel
+        # region; norm1's output stays sequence-sharded for the residual add
+        # while its gathered copy feeds the FFW
+        x_ffw = _gather(x)
         # feed-forward block: dict-valued params keep the exact nn.Dense
         # checkpoint tree (params['linear1']['kernel'|'bias']) while letting
         # the fused Pallas kernel consume the raw weights
@@ -390,7 +421,7 @@ class _TransformerEncoderLayer(nn.Module):
             # hidden activation nor the FFW output reach HBM.
             cd = self.dtype or jnp.float32
             out2d = fused_mlp_residual_ln(
-                x.reshape(batch * seq_len, self.hidden_dim).astype(cd),
+                x_ffw.reshape(batch * seq_len, self.hidden_dim).astype(cd),
                 p1["kernel"].astype(cd),
                 p1["bias"].astype(jnp.float32),
                 p2["kernel"].astype(cd),
@@ -410,7 +441,7 @@ class _TransformerEncoderLayer(nn.Module):
             )
             return out2d.reshape(batch, seq_len, self.hidden_dim).astype(x.dtype)
         ff = transformer_ffw(
-            x,
+            x_ffw,
             p1,
             p2,
             keep_mask=keep_mask,
@@ -419,6 +450,9 @@ class _TransformerEncoderLayer(nn.Module):
             dtype=self.dtype,
             interpret=interpret,
         )
+        # linear2's output re-enters the norm region (reduce-scatter
+        # boundary); the residual dropout + add + norm2 run sequence-sharded
+        ff = _shard_t(ff)
         if res_mask is not None:
             ff = jnp.where(res_mask, ff / keep_prob, 0.0).astype(ff.dtype)
         # manual LayerNorm on the shared raw params (flax semantics: fast
@@ -431,7 +465,7 @@ class _TransformerEncoderLayer(nn.Module):
         )
         xhat = (r - mu) * jax.lax.rsqrt(var + 1e-6)
         out = xhat * pn2["scale"] + pn2["bias"]
-        return out.astype(x.dtype)
+        return _shard_t(out.astype(x.dtype))
 
 
 class SequenceEncoder(nn.Module):
@@ -449,6 +483,9 @@ class SequenceEncoder(nn.Module):
     flash_attention: bool = False  # Pallas flash attention (transformer path)
     fused_mlp: bool = False  # Pallas fused feed-forward (transformer path)
     fused_mlp_ln: bool = False  # widen fusion to residual-dropout + norm2
+    # Megatron sequence parallelism over the active tensor-parallel mesh
+    # (transformer path; see _TransformerEncoderLayer.seq_parallel)
+    sequence_parallel: bool = False
     # bf16 computation under mixed_precision (cnn/transformer paths; the RNN
     # recurrence keeps f32 carries — the grouped encoder has its own
     # mixed_precision recurrence flag)
@@ -526,6 +563,7 @@ class SequenceEncoder(nn.Module):
                 use_flash=self.flash_attention,
                 use_fused_mlp=self.fused_mlp,
                 use_fused_mlp_ln=self.fused_mlp_ln,
+                seq_parallel=self.sequence_parallel,
                 dtype=self.dtype,
                 name=f"layer{idx}",
             )(x, key_padding_mask=valid_mask, train=train)
@@ -654,7 +692,8 @@ def build_encoder(
 
     def make_sequence():
         allowed = {"hidden_dim", "num_layers", "encoder_type", "dropout",
-                   "flash_attention", "fused_mlp", "fused_mlp_ln", "dtype"}
+                   "flash_attention", "fused_mlp", "fused_mlp_ln",
+                   "sequence_parallel", "dtype"}
         enc = SequenceEncoder(output_dim=output_dim, **{k: v for k, v in config.items() if k in allowed})
         enc._check()
         return enc

@@ -291,6 +291,8 @@ class MultimodalFusionModel(nn.Module):
         fused_mlp_ln = _parse_backend_flag(
             model_cfg.get("fused_mlp_ln", "auto"), "fused_mlp_ln"
         )
+        par_cfg = config.get("parallel", {}) or {}
+        seq_par = bool(par_cfg.get("sequence_parallel", False))
         enc_cfgs = {}
         all_encoder_cfg = model_cfg.get("encoders", {}) or {}
         for name in modalities:
@@ -303,6 +305,11 @@ class MultimodalFusionModel(nn.Module):
                 cfg.setdefault("flash_attention", bool(flash))
                 cfg.setdefault("fused_mlp", bool(fused_mlp))
                 cfg.setdefault("fused_mlp_ln", bool(fused_mlp_ln))
+                # parallel.sequence_parallel: Megatron sequence parallelism
+                # in the transformer layers — only meaningful when the
+                # Trainer also runs a model_parallel mesh (the constraints
+                # are no-ops without an active "model" axis)
+                cfg.setdefault("sequence_parallel", seq_par)
             enc_cfgs[name] = cfg
         pallas_rnn = _parse_backend_flag(
             model_cfg.get("pallas_rnn", False), "pallas_rnn"

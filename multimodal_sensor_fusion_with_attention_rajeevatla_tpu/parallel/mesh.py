@@ -17,6 +17,8 @@ driver's multi-chip dry-run.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import Optional, Sequence
 
 import jax
@@ -26,6 +28,63 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 DCN_AXIS = "dcn"
+
+# Active mesh for ACTIVATION sharding constraints (sequence parallelism).
+# Model modules are built from config with no mesh in scope, so the Trainer
+# publishes its mesh here for the duration of fit/eval; the transformer
+# layers consult it AT TRACE TIME to emit `with_sharding_constraint`s. When
+# unset (single-device runs, unit tests, eval CLI) every constraint helper
+# is an exact no-op.
+_ACTIVATION_MESH: contextvars.ContextVar = contextvars.ContextVar(
+    "msfa_activation_mesh", default=None
+)
+
+
+@contextlib.contextmanager
+def activation_mesh(mesh: Optional[Mesh]):
+    """Publish ``mesh`` as the activation-sharding mesh for the block."""
+    token = _ACTIVATION_MESH.set(mesh)
+    try:
+        yield mesh
+    finally:
+        _ACTIVATION_MESH.reset(token)
+
+
+def current_activation_mesh() -> Optional[Mesh]:
+    return _ACTIVATION_MESH.get()
+
+
+def _batch_axes(mesh: Mesh):
+    axes = tuple(a for a in (DCN_AXIS, DATA_AXIS) if a in mesh.axis_names)
+    if not axes:
+        return None
+    return axes if len(axes) > 1 else axes[0]
+
+
+def seq_sharded_constraint(x: jax.Array) -> jax.Array:
+    """Constrain a ``[B, T, H]`` activation to the SEQUENCE-PARALLEL layout:
+    batch over (dcn, data), time over "model" (Megatron sequence
+    parallelism). Applied in the norm/dropout/residual regions of the
+    transformer layer, where the tensor-parallel group would otherwise hold
+    ``model_parallel`` redundant copies of the full activation. No-op without
+    an active mesh or without a "model" axis."""
+    mesh = current_activation_mesh()
+    if mesh is None or MODEL_AXIS not in mesh.axis_names:
+        return x
+    spec = P(_batch_axes(mesh), MODEL_AXIS, None)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def seq_gathered_constraint(x: jax.Array) -> jax.Array:
+    """Constrain a ``[B, T, H]`` activation to the TENSOR-PARALLEL region
+    layout: batch sharded, time REPLICATED over "model" (XLA materialises the
+    all-gather that re-enters the attention/FFW matmuls). No-op without an
+    active mesh or without a "model" axis."""
+    mesh = current_activation_mesh()
+    if mesh is None or MODEL_AXIS not in mesh.axis_names:
+        return x
+    spec = P(_batch_axes(mesh), None, None)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
 def make_mesh(

@@ -38,6 +38,7 @@ from ..data.device import DeviceSplit, device_put_split
 from ..models.module import MultimodalFusionModel
 from ..ops.metrics import cross_entropy_loss
 from ..parallel.mesh import (
+    activation_mesh,
     make_mesh,
     replicated_sharding,
     resolve_num_devices,
@@ -189,6 +190,18 @@ class Trainer:
         # over ("dcn", "data"), params replicate, the only cross-slice
         # collective is the per-step gradient psum (rides DCN on real pods).
         self.dcn_slices = int(par_cfg.get("dcn_slices", 1) or 1)
+        # parallel.sequence_parallel: shard the transformer layers' norm/
+        # dropout/residual activations on the TIME axis across the tensor-
+        # parallel group (Megatron sequence parallelism). The flag reaches
+        # the model via MultimodalFusionModel.from_config; here it only
+        # gates the config sanity check below.
+        self.sequence_parallel = bool(par_cfg.get("sequence_parallel", False))
+        if self.sequence_parallel and self.model_parallel <= 1:
+            raise ValueError(
+                "parallel.sequence_parallel requires parallel.model_parallel"
+                " > 1 (it shards activations across the tensor-parallel"
+                " group)"
+            )
         self.mesh = None
 
     # -- mesh / placement ---------------------------------------------------
@@ -211,15 +224,24 @@ class Trainer:
         return self.mesh
 
     def _device_ctx(self):
-        """Pin implicit array creation to the mesh's backend.
+        """Pin implicit array creation to the mesh's backend, and publish the
+        mesh for ACTIVATION sharding constraints (sequence parallelism).
 
         Hermeticity: when training on a (possibly CPU) mesh, no ``jnp.asarray``
         may allocate on the DEFAULT backend — in the driver's dry-run env the
         default backend is a tunneled TPU that can be broken while the CPU
         mesh is fine.
+
+        The activation-mesh publication lets transformer layers built with
+        ``parallel.sequence_parallel`` emit their region-boundary
+        ``with_sharding_constraint``s at trace time (parallel/mesh.py);
+        models without the flag ignore it entirely.
         """
         if self.mesh is not None:
-            return jax.default_device(self.mesh.devices.flat[0])
+            stack = contextlib.ExitStack()
+            stack.enter_context(jax.default_device(self.mesh.devices.flat[0]))
+            stack.enter_context(activation_mesh(self.mesh))
+            return stack
         return contextlib.nullcontext()
 
     @property
@@ -580,6 +602,12 @@ class Trainer:
                     f"{self.model_parallel} model devices "
                     f"({mesh.devices.flat[0].platform}), batch sharded over "
                     "'data', transformer ffw weights over 'model'"
+                    + (
+                        ", norm-region activations sequence-sharded over"
+                        " 'model' (sequence parallelism)"
+                        if self.sequence_parallel
+                        else ""
+                    )
                 )
             else:
                 log_fn(

@@ -364,3 +364,141 @@ class TestSliceGrouping:
 
         devs = jax.devices()  # host CPU devices: no slice_index attribute
         assert _slice_grouped(devs, 2) == list(devs)
+
+
+class TestSequenceParallel:
+    """Megatron sequence parallelism (parallel.sequence_parallel): norm-region
+    activations shard on TIME over the tensor-parallel "model" axis via
+    region-boundary sharding constraints (parallel/mesh.py helpers, emitted by
+    _TransformerEncoderLayer when the Trainer publishes its mesh)."""
+
+    def _encoder(self, sp: bool):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.models.encoders import (
+            SequenceEncoder,
+        )
+
+        return SequenceEncoder(
+            hidden_dim=8, output_dim=4, num_layers=1,
+            encoder_type="transformer", dropout=0.0, sequence_parallel=sp,
+        )
+
+    def test_constraints_are_emitted_in_lowered_hlo(self):
+        """With an active tp mesh the sp encoder's lowered program carries
+        MORE Sharding custom-calls than the plain one (the region-boundary
+        with_sharding_constraints); without a published mesh it lowers to the
+        exact same constraint count (the helpers are no-ops)."""
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.parallel.mesh import (
+            activation_mesh,
+            make_mesh,
+        )
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs >= 4 devices")
+        mesh = make_mesh(4, model_parallel=2)
+        x = jnp.ones((2, 8, 3))
+
+        def lower(enc, variables):
+            fn = jax.jit(lambda v, s: enc.apply(v, s))
+            return fn.lower(variables, x).as_text()
+
+        def n_constraints(text):
+            # shardy lowering (jax >= 0.7 default) vs legacy GSPMD custom-call
+            return text.count("sdy.sharding_constraint") + text.count(
+                "@Sharding"
+            )
+
+        plain = self._encoder(False)
+        sp = self._encoder(True)
+        variables = plain.init(jax.random.PRNGKey(0), x)
+        with activation_mesh(mesh):
+            text_plain = lower(plain, variables)
+            text_sp = lower(sp, variables)
+            assert n_constraints(text_sp) > n_constraints(text_plain)
+        # no published mesh -> the sp flag is inert (single-device eval CLI)
+        assert n_constraints(lower(sp, variables)) == n_constraints(text_plain)
+
+    def test_outputs_match_plain_encoder(self):
+        """sp resharding must not change the math: same params, same input,
+        same output (up to reduction-order noise) on the CPU mesh."""
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.parallel.mesh import (
+            activation_mesh,
+            make_mesh,
+        )
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs >= 4 devices")
+        mesh = make_mesh(4, model_parallel=2)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 3))
+        plain = self._encoder(False)
+        sp = self._encoder(True)
+        variables = plain.init(jax.random.PRNGKey(0), x)
+        ref = plain.apply(variables, x)
+        with activation_mesh(mesh):
+            out = jax.jit(lambda v, s: sp.apply(v, s))(variables, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_requires_model_parallel(self, tiny_model_cfg):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.train.trainer import (
+            Trainer,
+        )
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.utils.config import (
+            ConfigNode,
+        )
+
+        cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+        cfg.set_dotted(
+            "parallel", {"num_devices": 4, "sequence_parallel": True}
+        )
+        with pytest.raises(ValueError, match="sequence_parallel requires"):
+            Trainer(cfg)
+
+    def test_fit_matches_single_device(self, tiny_model_cfg, tmp_path):
+        """dp x tp + sequence parallelism trains to the same losses as one
+        device (transformer encoders, kernels pinned off on the CPU mesh)."""
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.data.dataset import (
+            SyntheticMultimodalDataset,
+        )
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.train.trainer import (
+            Trainer,
+        )
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.utils.config import (
+            ConfigNode,
+        )
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs >= 4 devices")
+        dims = {"sensor1": 8, "sensor2": 8}
+        train = SyntheticMultimodalDataset(
+            num_samples=16, num_classes=5, modality_dims=dims,
+            sequence_length=6, split="train",
+        ).windows
+        val = SyntheticMultimodalDataset(
+            num_samples=8, num_classes=5, modality_dims=dims,
+            sequence_length=6, split="val",
+        ).windows
+
+        def run(parallel):
+            cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+            cfg.set_dotted("dataset.batch_size", 8)
+            cfg.set_dotted("training.max_epochs", 2)
+            cfg.set_dotted("model.encoders", {
+                "sensor1": {"type": "sequence", "encoder_type": "transformer",
+                            "input_dim": 8, "num_layers": 1},
+                "sensor2": {"type": "sequence", "encoder_type": "transformer",
+                            "input_dim": 8, "num_layers": 1},
+            })
+            cfg.set_dotted("parallel", parallel)
+            trainer = Trainer(cfg)
+            results = trainer.fit(
+                train, val, save_dir=tmp_path / f"sp{len(parallel)}",
+                log_fn=None,
+            )
+            return results
+
+        r1 = run({})
+        rsp = run({
+            "num_devices": 4, "model_parallel": 2, "sequence_parallel": True,
+        })
+        for h1, hsp in zip(r1["history"], rsp["history"]):
+            assert hsp["train/loss"] == pytest.approx(h1["train/loss"], rel=2e-3)
+            assert hsp["val/loss"] == pytest.approx(h1["val/loss"], rel=2e-3)
