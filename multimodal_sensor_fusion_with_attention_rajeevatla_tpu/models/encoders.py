@@ -242,6 +242,13 @@ class _TransformerEncoderLayer(nn.Module):
     # active tensor-parallel mesh (parallel/mesh.py::activation_mesh);
     # otherwise every constraint is a no-op.
     seq_parallel: bool = False
+    # E > 0 swaps the dense feed-forward for a top-k routed Mixture-of-
+    # Experts block (models/moe.py) whose [E, ...] expert weights shard over
+    # the mesh's "model" axis (EXPERT parallelism). Beyond-parity extension;
+    # the fused_mlp kernels apply only to the dense path.
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(
@@ -389,6 +396,39 @@ class _TransformerEncoderLayer(nn.Module):
         # region; norm1's output stays sequence-sharded for the residual add
         # while its gathered copy feeds the FFW
         x_ffw = _gather(x)
+        if self.moe_experts > 0:
+            # Mixture-of-Experts feed-forward (expert parallelism) in place
+            # of the dense pair; residual dropout + add + norm2 are shared
+            # with the dense path below (same math, same param tree names)
+            from .moe import MoEFeedForward
+
+            pn2 = self.param("norm2", ln_params_init(self.hidden_dim))
+            ff = MoEFeedForward(
+                hidden_dim=self.hidden_dim,
+                dim_feedforward=self.dim_feedforward,
+                num_experts=self.moe_experts,
+                top_k=self.moe_top_k,
+                capacity_factor=self.moe_capacity_factor,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                name="moe",
+            )(x_ffw, valid_mask=key_padding_mask, train=train)
+            ff = _shard_t(ff)
+            if train and self.dropout > 0.0:
+                res_mask = jax.random.bernoulli(
+                    self.make_rng("dropout"),
+                    keep_prob,
+                    (batch, seq_len, self.hidden_dim),
+                )
+                ff = jnp.where(res_mask, ff / keep_prob, 0.0).astype(ff.dtype)
+            r = x.astype(jnp.float32) + ff.astype(jnp.float32)
+            mu = jnp.mean(r, axis=-1, keepdims=True)
+            var = jnp.maximum(
+                jnp.mean(r * r, axis=-1, keepdims=True) - mu * mu, 0.0
+            )
+            xhat = (r - mu) * jax.lax.rsqrt(var + 1e-6)
+            out = xhat * pn2["scale"] + pn2["bias"]
+            return _shard_t(out.astype(x.dtype))
         # feed-forward block: dict-valued params keep the exact nn.Dense
         # checkpoint tree (params['linear1']['kernel'|'bias']) while letting
         # the fused Pallas kernel consume the raw weights
@@ -486,6 +526,11 @@ class SequenceEncoder(nn.Module):
     # Megatron sequence parallelism over the active tensor-parallel mesh
     # (transformer path; see _TransformerEncoderLayer.seq_parallel)
     sequence_parallel: bool = False
+    # Mixture-of-Experts feed-forward (transformer path; expert weights
+    # shard over the "model" mesh axis — see models/moe.py). 0 = dense FFW.
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
     # bf16 computation under mixed_precision (cnn/transformer paths; the RNN
     # recurrence keeps f32 carries — the grouped encoder has its own
     # mixed_precision recurrence flag)
@@ -564,6 +609,9 @@ class SequenceEncoder(nn.Module):
                 use_fused_mlp=self.fused_mlp,
                 use_fused_mlp_ln=self.fused_mlp_ln,
                 seq_parallel=self.sequence_parallel,
+                moe_experts=self.moe_experts,
+                moe_top_k=self.moe_top_k,
+                moe_capacity_factor=self.moe_capacity_factor,
                 dtype=self.dtype,
                 name=f"layer{idx}",
             )(x, key_padding_mask=valid_mask, train=train)
@@ -693,7 +741,8 @@ def build_encoder(
     def make_sequence():
         allowed = {"hidden_dim", "num_layers", "encoder_type", "dropout",
                    "flash_attention", "fused_mlp", "fused_mlp_ln",
-                   "sequence_parallel", "dtype"}
+                   "sequence_parallel", "moe_experts", "moe_top_k",
+                   "moe_capacity_factor", "dtype"}
         enc = SequenceEncoder(output_dim=output_dim, **{k: v for k, v in config.items() if k in allowed})
         enc._check()
         return enc

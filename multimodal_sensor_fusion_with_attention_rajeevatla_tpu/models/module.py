@@ -310,6 +310,15 @@ class MultimodalFusionModel(nn.Module):
                 # Trainer also runs a model_parallel mesh (the constraints
                 # are no-ops without an active "model" axis)
                 cfg.setdefault("sequence_parallel", seq_par)
+                # model.moe_experts > 0: Mixture-of-Experts feed-forward
+                # with expert weights sharded over the "model" mesh axis
+                # (expert parallelism; models/moe.py)
+                cfg.setdefault("moe_experts", int(model_cfg.get("moe_experts", 0) or 0))
+                cfg.setdefault("moe_top_k", int(model_cfg.get("moe_top_k", 2) or 2))
+                cfg.setdefault(
+                    "moe_capacity_factor",
+                    float(model_cfg.get("moe_capacity_factor", 1.25) or 1.25),
+                )
             enc_cfgs[name] = cfg
         pallas_rnn = _parse_backend_flag(
             model_cfg.get("pallas_rnn", False), "pallas_rnn"

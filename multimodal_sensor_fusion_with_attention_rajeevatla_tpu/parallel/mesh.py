@@ -87,6 +87,21 @@ def seq_gathered_constraint(x: jax.Array) -> jax.Array:
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
+def expert_sharded_constraint(x: jax.Array, num_experts: int) -> jax.Array:
+    """Constrain an ``[E, C, H]`` MoE expert buffer to the EXPERT-PARALLEL
+    layout: experts sharded over the "model" axis (each tensor-parallel rank
+    owns ``E / M`` experts' tokens and weights; XLA materialises the token
+    exchange). No-op without an active mesh, without a "model" axis, or when
+    the expert count does not divide evenly over it."""
+    mesh = current_activation_mesh()
+    if mesh is None or MODEL_AXIS not in mesh.axis_names:
+        return x
+    if num_experts % mesh.shape[MODEL_AXIS]:
+        return x
+    spec = P(MODEL_AXIS, None, None)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
 def make_mesh(
     num_devices: Optional[int] = None,
     devices: Optional[Sequence[jax.Device]] = None,
@@ -198,8 +213,16 @@ def tp_param_spec(path_names: Sequence[str]) -> P:
     Works on params, Adam mu/nu (same tree paths), and any state mirror.
     """
     names = list(path_names)
+    leaf = names[-1]
+    # MoE expert weights (models/moe.py): the leading E dim shards over
+    # "model" — EXPERT parallelism reuses the tensor-parallel axis (each
+    # rank owns E/M experts). The router stays replicated (it is tiny and
+    # every rank routes every token).
+    if leaf in ("moe_w1", "moe_w2"):
+        return P(MODEL_AXIS, None, None)
+    if leaf in ("moe_b1", "moe_b2"):
+        return P(MODEL_AXIS, None)
     for i, name in enumerate(names[:-1]):
-        leaf = names[-1]
         if name == "linear1":
             if leaf == "kernel":
                 return P(None, MODEL_AXIS)

@@ -174,6 +174,12 @@ class Trainer:
         # device memory; the default (false) whole-epoch scan is faster.
         self.streaming = bool(config.dataset.get("streaming", False))
         self._has_batch_stats = False
+        # Mixture-of-Experts load-balance aux loss (models/moe.py sows it
+        # into the "losses" collection; zero-weighting disables it).
+        self.moe_aux_weight = float(
+            config.training.get("moe_aux_weight", 0.01)
+        )
+        self._has_losses = False
         # SPMD data parallelism over a jax.sharding.Mesh (SURVEY §5/§7.5 —
         # the TPU-native replacement for the reference's CI-matrix scale-out):
         # params/opt-state replicated, per-step [S, B] index/weight matrices
@@ -201,6 +207,17 @@ class Trainer:
                 "parallel.sequence_parallel requires parallel.model_parallel"
                 " > 1 (it shards activations across the tensor-parallel"
                 " group)"
+            )
+        moe_experts = int(config.model.get("moe_experts", 0) or 0)
+        if (
+            moe_experts
+            and self.model_parallel > 1
+            and moe_experts % self.model_parallel
+        ):
+            raise ValueError(
+                f"model.moe_experts ({moe_experts}) must divide evenly over "
+                f"parallel.model_parallel ({self.model_parallel}) for expert"
+                " parallelism"
             )
         self.mesh = None
 
@@ -294,6 +311,8 @@ class Trainer:
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         self._has_batch_stats = bool(batch_stats)
+        # MoE encoders sow their load-balance aux loss into "losses"
+        self._has_losses = bool(variables.get("losses", {}))
         self.tx, self.accum = build_optimizer(self.config.training, steps_per_epoch)
         opt_state = self.tx.init(params)
         return TrainState(
@@ -316,7 +335,12 @@ class Trainer:
             variables = {"params": params}
             if self._has_batch_stats:
                 variables["batch_stats"] = state.batch_stats
-            mutable = ["batch_stats"] if self._has_batch_stats else False
+            mutable = []
+            if self._has_batch_stats:
+                mutable.append("batch_stats")
+            if self._has_losses:
+                mutable.append("losses")
+            mutable = mutable or False
 
             def forward(variables, features):
                 return self.model.apply(
@@ -336,10 +360,18 @@ class Trainer:
                 logits, updates = out
                 new_batch_stats = updates.get("batch_stats", state.batch_stats)
             else:
-                logits, new_batch_stats = out, state.batch_stats
+                logits, updates = out, {}
+                new_batch_stats = state.batch_stats
             loss = cross_entropy_loss(
                 logits, labels, self.label_smoothing, sample_weight=weight
             )
+            if self._has_losses and self.moe_aux_weight:
+                aux_total = jax.tree_util.tree_reduce(
+                    lambda a, b: a + jnp.sum(b),
+                    updates.get("losses", {}),
+                    jnp.zeros((), jnp.float32),
+                )
+                loss = loss + self.moe_aux_weight * aux_total
             return loss, (logits, new_batch_stats)
 
         (loss, (logits, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
