@@ -531,6 +531,11 @@ class SequenceEncoder(nn.Module):
     moe_experts: int = 0
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
+    # P > 1 runs the transformer layer stack as a GPipe microbatch pipeline
+    # over the mesh's "pipe" axis (parallel/pipeline.py). The pipelined
+    # path is XLA-only: flash/fused kernel flags are ignored on it.
+    pipeline_parallel: int = 1
+    pipeline_microbatches: int = 0
     # bf16 computation under mixed_precision (cnn/transformer paths; the RNN
     # recurrence keeps f32 carries — the grouped encoder has its own
     # mixed_precision recurrence flag)
@@ -600,6 +605,32 @@ class SequenceEncoder(nn.Module):
         valid_mask = (
             lengths_to_mask(lengths, seq_len) if lengths is not None else None
         )
+        if self.pipeline_parallel > 1:
+            if self.moe_experts > 0:
+                raise ValueError(
+                    "pipeline_parallel does not compose with moe_experts"
+                )
+            # GPipe microbatch pipeline over the mesh's "pipe" axis; off-
+            # mesh the module runs the same stacked layers sequentially.
+            # Pallas kernel flags are ignored here: the pipelined layer
+            # math is the XLA path (kernels cannot lower inside the
+            # pipe-manual shard_map).
+            from ..parallel.pipeline import PipelinedTransformerLayers
+
+            x = PipelinedTransformerLayers(
+                hidden_dim=self.hidden_dim,
+                num_heads=nhead,
+                num_layers=self.num_layers,
+                dropout=self.dropout,
+                pipeline_parallel=self.pipeline_parallel,
+                microbatches=self.pipeline_microbatches,
+                dtype=self.dtype,
+                name="pipeline",
+            )(x, key_padding_mask=valid_mask, train=train)
+            pooled = masked_mean_pool(x, valid_mask, axis=1, min_denom=1.0)
+            return nn.Dense(
+                self.output_dim, name="projection", dtype=self.dtype
+            )(drop(pooled))
         for idx in range(self.num_layers):
             x = _TransformerEncoderLayer(
                 hidden_dim=self.hidden_dim,
@@ -742,7 +773,8 @@ def build_encoder(
         allowed = {"hidden_dim", "num_layers", "encoder_type", "dropout",
                    "flash_attention", "fused_mlp", "fused_mlp_ln",
                    "sequence_parallel", "moe_experts", "moe_top_k",
-                   "moe_capacity_factor", "dtype"}
+                   "moe_capacity_factor", "pipeline_parallel",
+                   "pipeline_microbatches", "dtype"}
         enc = SequenceEncoder(output_dim=output_dim, **{k: v for k, v in config.items() if k in allowed})
         enc._check()
         return enc

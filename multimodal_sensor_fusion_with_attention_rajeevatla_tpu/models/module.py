@@ -293,6 +293,8 @@ class MultimodalFusionModel(nn.Module):
         )
         par_cfg = config.get("parallel", {}) or {}
         seq_par = bool(par_cfg.get("sequence_parallel", False))
+        pipe_par = int(par_cfg.get("pipeline_parallel", 1) or 1)
+        pipe_micro = int(par_cfg.get("microbatches", 0) or 0)
         enc_cfgs = {}
         all_encoder_cfg = model_cfg.get("encoders", {}) or {}
         for name in modalities:
@@ -319,6 +321,11 @@ class MultimodalFusionModel(nn.Module):
                     "moe_capacity_factor",
                     float(model_cfg.get("moe_capacity_factor", 1.25) or 1.25),
                 )
+                # parallel.pipeline_parallel: GPipe microbatch pipelining of
+                # the layer stack over the "pipe" mesh axis
+                # (parallel/pipeline.py)
+                cfg.setdefault("pipeline_parallel", pipe_par)
+                cfg.setdefault("pipeline_microbatches", pipe_micro)
             enc_cfgs[name] = cfg
         pallas_rnn = _parse_backend_flag(
             model_cfg.get("pallas_rnn", False), "pallas_rnn"

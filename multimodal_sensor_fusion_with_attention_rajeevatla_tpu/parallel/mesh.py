@@ -28,6 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 DCN_AXIS = "dcn"
+PIPE_AXIS = "pipe"
 
 # Active mesh for ACTIVATION sharding constraints (sequence parallelism).
 # Model modules are built from config with no mesh in scope, so the Trainer
@@ -108,6 +109,7 @@ def make_mesh(
     axis_name: str = DATA_AXIS,
     model_parallel: int = 1,
     dcn_slices: int = 1,
+    pipeline_parallel: int = 1,
 ) -> Mesh:
     """Device mesh over the first ``num_devices`` devices.
 
@@ -148,12 +150,30 @@ def make_mesh(
         devices = devices[:num_devices]
     model_parallel = int(model_parallel or 1)
     dcn_slices = int(dcn_slices or 1)
+    pipeline_parallel = int(pipeline_parallel or 1)
+    if pipeline_parallel > 1 and model_parallel > 1:
+        raise ValueError(
+            "pipeline_parallel and model_parallel cannot be combined "
+            "(the pipelined layer stack runs under a shard_map that is "
+            "manual over 'pipe' only)"
+        )
     n = len(devices)
-    if n % (model_parallel * dcn_slices):
+    if n % (model_parallel * dcn_slices * pipeline_parallel):
         raise ValueError(
             f"model_parallel={model_parallel} x dcn_slices={dcn_slices} "
+            f"x pipeline_parallel={pipeline_parallel} "
             f"must divide the device count ({n})"
         )
+    if pipeline_parallel > 1:
+        data = n // (dcn_slices * pipeline_parallel)
+        if dcn_slices > 1:
+            devices = _slice_grouped(devices, dcn_slices)
+            grid = np.array(devices).reshape(
+                dcn_slices, data, pipeline_parallel
+            )
+            return Mesh(grid, (DCN_AXIS, axis_name, PIPE_AXIS))
+        grid = np.array(devices).reshape(data, pipeline_parallel)
+        return Mesh(grid, (axis_name, PIPE_AXIS))
     data = n // (model_parallel * dcn_slices)
     if dcn_slices > 1 and model_parallel > 1:
         devices = _slice_grouped(devices, dcn_slices)
@@ -253,12 +273,19 @@ def state_shardings(mesh: Mesh, tree):
     path names a sharded layer — params AND optimizer moments match because
     optax moment trees mirror the param tree's nesting.
     """
-    if MODEL_AXIS not in mesh.axis_names:
+    has_model = MODEL_AXIS in mesh.axis_names
+    has_pipe = PIPE_AXIS in mesh.axis_names
+    if not (has_model or has_pipe):
         rep = NamedSharding(mesh, P())
         return jax.tree_util.tree_map(lambda _: rep, tree)
 
     def one(path, leaf):
-        spec = tp_param_spec(_path_names(path))
+        names = _path_names(path)
+        # stacked pipeline-parallel layer params (parallel/pipeline.py):
+        # the leading [L] layer dim shards over "pipe"
+        if has_pipe and "pipe_layers" in names:
+            return NamedSharding(mesh, P(PIPE_AXIS))
+        spec = tp_param_spec(names) if has_model else P()
         # rank guard: a spec longer than the leaf's rank is invalid
         if len(spec) > getattr(leaf, "ndim", 0):
             spec = P()

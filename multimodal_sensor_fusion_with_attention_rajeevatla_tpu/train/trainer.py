@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import contextlib
 import json
+import math
 import time
 from pathlib import Path
 from typing import Any, Callable, Dict, Optional, Tuple
@@ -201,6 +202,20 @@ class Trainer:
         # parallel group (Megatron sequence parallelism). The flag reaches
         # the model via MultimodalFusionModel.from_config; here it only
         # gates the config sanity check below.
+        # parallel.pipeline_parallel: P > 1 adds a "pipe" mesh axis and runs
+        # the transformer encoders' layer stack as a GPipe microbatch
+        # pipeline (parallel/pipeline.py; layer params stacked [L, ...] and
+        # sharded over "pipe"). parallel.microbatches tunes the bubble.
+        self.pipeline_parallel = int(par_cfg.get("pipeline_parallel", 1) or 1)
+        self.pipeline_microbatches = (
+            int(par_cfg.get("microbatches", 0) or 0) or self.pipeline_parallel
+        )
+        if self.pipeline_parallel > 1 and self.model_parallel > 1:
+            raise ValueError(
+                "parallel.pipeline_parallel cannot be combined with "
+                "parallel.model_parallel (the pipelined stack's shard_map "
+                "is manual over 'pipe' only)"
+            )
         self.sequence_parallel = bool(par_cfg.get("sequence_parallel", False))
         if self.sequence_parallel and self.model_parallel <= 1:
             raise ValueError(
@@ -232,10 +247,16 @@ class Trainer:
                     n,
                     model_parallel=self.model_parallel,
                     dcn_slices=self.dcn_slices,
+                    pipeline_parallel=self.pipeline_parallel,
                 )
-            elif self.model_parallel > 1 or self.dcn_slices > 1:
+            elif (
+                self.model_parallel > 1
+                or self.dcn_slices > 1
+                or self.pipeline_parallel > 1
+            ):
                 raise ValueError(
-                    "parallel.model_parallel / parallel.dcn_slices require "
+                    "parallel.model_parallel / parallel.dcn_slices / "
+                    "parallel.pipeline_parallel require "
                     "parallel.num_devices > 1"
                 )
         return self.mesh
@@ -274,6 +295,9 @@ class Trainer:
         """Round the batch up to a mesh-divisible size (pad rows get weight 0)."""
         b = int(batch_size or self.batch_size)
         n = self.n_shards
+        if self.pipeline_parallel > 1:
+            # the pipelined layer stack splits the batch into microbatches
+            n = math.lcm(n, self.pipeline_microbatches)
         return ((b + n - 1) // n) * n
 
     def _step_sharding(self) -> Optional[NamedSharding]:
@@ -640,6 +664,14 @@ class Trainer:
                         if self.sequence_parallel
                         else ""
                     )
+                )
+            elif self.pipeline_parallel > 1:
+                log_fn(
+                    f"dp x pp mesh: {self.n_shards} data x "
+                    f"{self.pipeline_parallel} pipe devices "
+                    f"({mesh.devices.flat[0].platform}), batch sharded over "
+                    "'data', transformer layer stack GPipe-pipelined over "
+                    "'pipe'"
                 )
             else:
                 log_fn(
