@@ -253,6 +253,27 @@ def tp_param_spec(path_names: Sequence[str]) -> P:
     return P()
 
 
+def zero_extend_spec(spec: P, shape, n_data: int) -> P:
+    """Extend a PartitionSpec with the "data" axis for ZeRO-1 sharding.
+
+    Inserts ``DATA_AXIS`` into the FIRST dimension that is currently
+    unsharded and whose size divides evenly by ``n_data`` (the data-axis
+    size). Dimensions already sharded (e.g. Megatron "model" on a tp mesh,
+    "pipe" on a pp mesh) are kept — ZeRO composes with tensor/pipeline
+    parallelism by sharding a *different* dim of the same leaf. Returns the
+    original spec when no dimension qualifies (the leaf stays replicated).
+    """
+    ndim = len(shape)
+    entries = list(spec) + [None] * (ndim - len(spec))
+    for i in range(ndim):
+        if entries[i] is None and shape[i] % n_data == 0 and shape[i] >= n_data:
+            entries[i] = DATA_AXIS
+            while entries and entries[-1] is None:
+                entries.pop()
+            return P(*entries)
+    return spec
+
+
 def _path_names(path) -> list:
     names = []
     for entry in path:
@@ -265,17 +286,33 @@ def _path_names(path) -> list:
     return names
 
 
-def state_shardings(mesh: Mesh, tree):
+def state_shardings(mesh: Mesh, tree, zero_optimizer: bool = False):
     """NamedSharding pytree for a train state / param tree.
 
     On a 1-D (data-only) mesh everything is replicated; on a 2-D mesh the
     tensor-parallel rule (:func:`tp_param_spec`) applies wherever the leaf's
     path names a sharded layer — params AND optimizer moments match because
     optax moment trees mirror the param tree's nesting.
+
+    ``zero_optimizer=True`` (ZeRO-1, `parallel.zero_optimizer`): every
+    array leaf under an ``opt_state`` path (Adam mu/nu, MultiSteps
+    accumulators — trees that mirror params) additionally shards over the
+    "data" axis on its first evenly-divisible unsharded dim
+    (:func:`zero_extend_spec`). Params stay replicated, so the math is
+    unchanged: XLA materialises the update as reduce-scatter(grad) →
+    sharded moment/delta math → all-gather(delta) — each data rank holds
+    1/N of the optimizer state instead of a full copy. The "dcn" axis is
+    deliberately NOT used: ZeRO's per-step all-gather must ride ICI, not
+    the slow cross-slice network.
     """
     has_model = MODEL_AXIS in mesh.axis_names
     has_pipe = PIPE_AXIS in mesh.axis_names
-    if not (has_model or has_pipe):
+    zero_n = (
+        int(mesh.shape[DATA_AXIS])
+        if zero_optimizer and DATA_AXIS in mesh.axis_names
+        else 0
+    )
+    if not (has_model or has_pipe or zero_n > 1):
         rep = NamedSharding(mesh, P())
         return jax.tree_util.tree_map(lambda _: rep, tree)
 
@@ -284,11 +321,16 @@ def state_shardings(mesh: Mesh, tree):
         # stacked pipeline-parallel layer params (parallel/pipeline.py):
         # the leading [L] layer dim shards over "pipe"
         if has_pipe and "pipe_layers" in names:
-            return NamedSharding(mesh, P(PIPE_AXIS))
-        spec = tp_param_spec(names) if has_model else P()
+            spec = P(PIPE_AXIS)
+        else:
+            spec = tp_param_spec(names) if has_model else P()
         # rank guard: a spec longer than the leaf's rank is invalid
         if len(spec) > getattr(leaf, "ndim", 0):
             spec = P()
+        if zero_n > 1 and "opt_state" in names:
+            shape = getattr(leaf, "shape", ())
+            if len(spec) <= len(shape):
+                spec = zero_extend_spec(spec, shape, zero_n)
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(one, tree)

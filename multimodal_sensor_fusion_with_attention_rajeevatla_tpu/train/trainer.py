@@ -216,6 +216,13 @@ class Trainer:
                 "parallel.model_parallel (the pipelined stack's shard_map "
                 "is manual over 'pipe' only)"
             )
+        # parallel.zero_optimizer: ZeRO-1 — shard the optimizer state (Adam
+        # mu/nu, MultiSteps accumulators) over the "data" axis so each rank
+        # holds 1/N of it instead of a full copy (params stay replicated;
+        # XLA materialises reduce-scatter(grad) -> sharded update math ->
+        # all-gather(delta), all over ICI). Numerics are unchanged.
+        self.zero_optimizer = bool(par_cfg.get("zero_optimizer", False))
+        self._opt_shardings = None
         self.sequence_parallel = bool(par_cfg.get("sequence_parallel", False))
         if self.sequence_parallel and self.model_parallel <= 1:
             raise ValueError(
@@ -253,11 +260,12 @@ class Trainer:
                 self.model_parallel > 1
                 or self.dcn_slices > 1
                 or self.pipeline_parallel > 1
+                or self.zero_optimizer
             ):
                 raise ValueError(
                     "parallel.model_parallel / parallel.dcn_slices / "
-                    "parallel.pipeline_parallel require "
-                    "parallel.num_devices > 1"
+                    "parallel.pipeline_parallel / parallel.zero_optimizer "
+                    "require parallel.num_devices > 1"
                 )
         return self.mesh
 
@@ -402,6 +410,13 @@ class Trainer:
             state.params
         )
         updates, new_opt_state = self.tx.update(grads, state.opt_state, state.params)
+        if self._opt_shardings is not None:
+            # ZeRO-1 (parallel.zero_optimizer): keep the updated moments
+            # sharded over "data" — XLA then feeds them from the gradient
+            # SHARD (reduce-scatter) and all-gathers only the param delta
+            new_opt_state = jax.lax.with_sharding_constraint(
+                new_opt_state, self._opt_shardings
+            )
         new_params = optax.apply_updates(state.params, updates)
         preds = jnp.argmax(logits, axis=-1)
         wsum = jnp.clip(jnp.sum(weight), 1.0, None)
@@ -678,6 +693,11 @@ class Trainer:
                     f"data-parallel mesh: {self.n_shards} devices "
                     f"({mesh.devices.flat[0].platform}), batch axis sharded"
                 )
+            if self.zero_optimizer:
+                log_fn(
+                    "ZeRO-1: optimizer state sharded over 'data' "
+                    f"(each rank holds 1/{mesh.shape['data']})"
+                )
         eff_batch = self._effective_batch()
 
         # streaming mode never materialises the train split in HBM
@@ -703,8 +723,18 @@ class Trainer:
         if mesh is not None:
             # replicated on a 1-D data mesh; on a 2-D data x model mesh the
             # transformer ffw params (and their Adam moments, which mirror
-            # the param tree) shard over the "model" axis
-            state = jax.device_put(state, state_shardings(mesh, state))
+            # the param tree) shard over the "model" axis; with
+            # parallel.zero_optimizer the optimizer state additionally
+            # shards over "data" (ZeRO-1)
+            shardings = state_shardings(
+                mesh, state, zero_optimizer=self.zero_optimizer
+            )
+            state = jax.device_put(state, shardings)
+            # re-asserted on every updated opt state inside the compiled
+            # step so GSPMD cannot silently re-replicate it
+            self._opt_shardings = (
+                shardings.opt_state if self.zero_optimizer else None
+            )
         epoch_fn = None if self.streaming else self.make_train_epoch_fn()
         step_fn = self.make_train_step_fn() if self.streaming else None
 
