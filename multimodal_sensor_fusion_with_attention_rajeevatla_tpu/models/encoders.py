@@ -627,25 +627,22 @@ class SequenceEncoder(nn.Module):
                 dtype=self.dtype,
                 name="pipeline",
             )(x, key_padding_mask=valid_mask, train=train)
-            pooled = masked_mean_pool(x, valid_mask, axis=1, min_denom=1.0)
-            return nn.Dense(
-                self.output_dim, name="projection", dtype=self.dtype
-            )(drop(pooled))
-        for idx in range(self.num_layers):
-            x = _TransformerEncoderLayer(
-                hidden_dim=self.hidden_dim,
-                num_heads=nhead,
-                dropout=self.dropout,
-                use_flash=self.flash_attention,
-                use_fused_mlp=self.fused_mlp,
-                use_fused_mlp_ln=self.fused_mlp_ln,
-                seq_parallel=self.sequence_parallel,
-                moe_experts=self.moe_experts,
-                moe_top_k=self.moe_top_k,
-                moe_capacity_factor=self.moe_capacity_factor,
-                dtype=self.dtype,
-                name=f"layer{idx}",
-            )(x, key_padding_mask=valid_mask, train=train)
+        else:
+            for idx in range(self.num_layers):
+                x = _TransformerEncoderLayer(
+                    hidden_dim=self.hidden_dim,
+                    num_heads=nhead,
+                    dropout=self.dropout,
+                    use_flash=self.flash_attention,
+                    use_fused_mlp=self.fused_mlp,
+                    use_fused_mlp_ln=self.fused_mlp_ln,
+                    seq_parallel=self.sequence_parallel,
+                    moe_experts=self.moe_experts,
+                    moe_top_k=self.moe_top_k,
+                    moe_capacity_factor=self.moe_capacity_factor,
+                    dtype=self.dtype,
+                    name=f"layer{idx}",
+                )(x, key_padding_mask=valid_mask, train=train)
         pooled = masked_mean_pool(x, valid_mask, axis=1, min_denom=1.0)
         return nn.Dense(self.output_dim, name="projection", dtype=self.dtype)(
             drop(pooled)

@@ -42,14 +42,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.masked import masked_softmax
+from ..ops.pallas_mlp import transformer_ffw
 from .mesh import PIPE_AXIS, current_activation_mesh
-
-
-def _uniform(scale: float):
-    def init(key, shape, dtype=jnp.float32):
-        return jax.random.uniform(key, shape, dtype, -scale, scale)
-
-    return init
 
 
 def stacked_layers_init(
@@ -58,31 +52,35 @@ def stacked_layers_init(
     """Init for the stacked ``[L, ...]`` transformer-layer param dict.
 
     Same per-leaf distributions as ``_TransformerEncoderLayer``'s
-    ``dense_params_init`` / ``ln_params_init`` (torch-style
-    ``U(-1/sqrt(fan_in), +1/sqrt(fan_in))``; LayerNorm scale 1 / bias 0).
+    ``dense_params_init`` / ``ln_params_init`` (lecun-normal kernels with
+    per-layer fan, ZERO biases; LayerNorm scale 1 / bias 0) — drawn per
+    layer and stacked, so a fresh ``pipeline_parallel`` run starts from
+    the same distribution as the sequential stack.
     """
+    lecun = jax.nn.initializers.lecun_normal()
+
+    def stacked_kernel(key, d_in, d_out, dtype):
+        keys = jax.random.split(key, num_layers)
+        return jnp.stack([lecun(k, (d_in, d_out), dtype) for k in keys])
 
     def init(key, dtype=jnp.float32):
-        ks = jax.random.split(key, 12)
+        ks = jax.random.split(key, 6)
         h, f, L = hidden_dim, dim_feedforward, num_layers
-        sh = h**-0.5
-        sf = f**-0.5
-        dense = _uniform(sh)
         return {
-            "q_proj": {"kernel": dense(ks[0], (L, h, h), dtype),
-                       "bias": dense(ks[1], (L, h), dtype)},
-            "k_proj": {"kernel": dense(ks[2], (L, h, h), dtype),
-                       "bias": dense(ks[3], (L, h), dtype)},
-            "v_proj": {"kernel": dense(ks[4], (L, h, h), dtype),
-                       "bias": dense(ks[5], (L, h), dtype)},
-            "out_proj": {"kernel": dense(ks[6], (L, h, h), dtype),
-                         "bias": dense(ks[7], (L, h), dtype)},
+            "q_proj": {"kernel": stacked_kernel(ks[0], h, h, dtype),
+                       "bias": jnp.zeros((L, h), dtype)},
+            "k_proj": {"kernel": stacked_kernel(ks[1], h, h, dtype),
+                       "bias": jnp.zeros((L, h), dtype)},
+            "v_proj": {"kernel": stacked_kernel(ks[2], h, h, dtype),
+                       "bias": jnp.zeros((L, h), dtype)},
+            "out_proj": {"kernel": stacked_kernel(ks[3], h, h, dtype),
+                         "bias": jnp.zeros((L, h), dtype)},
             "norm1": {"scale": jnp.ones((L, h), dtype),
                       "bias": jnp.zeros((L, h), dtype)},
-            "linear1": {"kernel": _uniform(sh)(ks[8], (L, h, f), dtype),
-                        "bias": _uniform(sh)(ks[9], (L, f), dtype)},
-            "linear2": {"kernel": _uniform(sf)(ks[10], (L, f, h), dtype),
-                        "bias": _uniform(sf)(ks[11], (L, h), dtype)},
+            "linear1": {"kernel": stacked_kernel(ks[4], h, f, dtype),
+                        "bias": jnp.zeros((L, f), dtype)},
+            "linear2": {"kernel": stacked_kernel(ks[5], f, h, dtype),
+                        "bias": jnp.zeros((L, h), dtype)},
             "norm2": {"scale": jnp.ones((L, h), dtype),
                       "bias": jnp.zeros((L, h), dtype)},
         }
@@ -157,25 +155,23 @@ def layer_forward(
         x.dtype
     )
 
-    h = jnp.maximum(
-        jnp.einsum(
-            "btd,df->btf", x.astype(cd32), p["linear1"]["kernel"].astype(cd32)
-        ).astype(jnp.float32)
-        + p["linear1"]["bias"],
-        0.0,
+    # feed-forward block: the shared transformer_ffw helper (XLA path) —
+    # identical math AND dtype rounding to the sequential encoder's FFW
+    keep_mask = (
+        jax.random.bernoulli(
+            rngs[1], keep_prob, x.shape[:-1] + (p["linear1"]["kernel"].shape[-1],)
+        )
+        if rngs is not None and dropout > 0.0
+        else None
     )
-    if rngs is not None and dropout > 0.0:
-        keep_mask = jax.random.bernoulli(rngs[1], keep_prob, h.shape)
-        h = jnp.where(keep_mask, h / keep_prob, 0.0)
-    ff = (
-        jnp.einsum(
-            "btf,fo->bto", h.astype(cd32), p["linear2"]["kernel"].astype(cd32)
-        ).astype(jnp.float32)
-        + p["linear2"]["bias"]
+    ff = transformer_ffw(
+        x, p["linear1"], p["linear2"],
+        keep_mask=keep_mask, keep_prob=keep_prob,
+        use_fused=False, dtype=dtype,
     )
     if rngs is not None and dropout > 0.0:
         res_mask = jax.random.bernoulli(rngs[2], keep_prob, ff.shape)
-        ff = jnp.where(res_mask, ff / keep_prob, 0.0)
+        ff = jnp.where(res_mask, ff / keep_prob, 0.0).astype(ff.dtype)
     out = _residual_ln(x, ff, p["norm2"]["scale"], p["norm2"]["bias"])
     return out.astype(x.dtype)
 

@@ -304,8 +304,18 @@ class Trainer:
         b = int(batch_size or self.batch_size)
         n = self.n_shards
         if self.pipeline_parallel > 1:
-            # the pipelined layer stack splits the batch into microbatches
+            # the pipelined layer stack splits the batch into microbatches;
+            # per-encoder pipeline_microbatches/pipeline_parallel overrides
+            # each impose their own divisibility, so pad to the lcm of all
             n = math.lcm(n, self.pipeline_microbatches)
+            encoders = self.config.model.get("encoders", {}) or {}
+            for enc in encoders.values():
+                pp = int(
+                    enc.get("pipeline_parallel", self.pipeline_parallel) or 1
+                )
+                if pp > 1:
+                    mb = int(enc.get("pipeline_microbatches", 0) or 0) or pp
+                    n = math.lcm(n, mb)
         return ((b + n - 1) // n) * n
 
     def _step_sharding(self) -> Optional[NamedSharding]:
@@ -663,6 +673,11 @@ class Trainer:
                     f"multi-slice mesh: {self.dcn_slices} slices x "
                     f"{mesh.shape['data']} data"
                     + (f" x {self.model_parallel} model" if self.model_parallel > 1 else "")
+                    + (
+                        f" x {self.pipeline_parallel} pipe"
+                        if self.pipeline_parallel > 1
+                        else ""
+                    )
                     + f" devices ({mesh.devices.flat[0].platform}); batch "
                     "sharded over ('dcn','data'), cross-slice traffic = one "
                     "gradient psum per step"

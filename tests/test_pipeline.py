@@ -35,15 +35,18 @@ def _stack_params(layer_params_list):
 
 
 class TestLayerForward:
-    def test_matches_transformer_encoder_layer(self):
-        """layer_forward == _TransformerEncoderLayer's XLA path, same params."""
+    @pytest.mark.parametrize("dtype", [None, jnp.bfloat16])
+    def test_matches_transformer_encoder_layer(self, dtype):
+        """layer_forward == _TransformerEncoderLayer's XLA path, same params
+        — in f32 AND under mixed precision (bf16 rounding points must
+        line up, incl. the FFW output cast before the residual)."""
         from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.models.encoders import (
             _TransformerEncoderLayer,
         )
 
         layer = _TransformerEncoderLayer(
             hidden_dim=32, num_heads=4, dim_feedforward=64, dropout=0.0,
-            use_flash=False, use_fused_mlp=False,
+            use_flash=False, use_fused_mlp=False, dtype=dtype,
         )
         x = jnp.asarray(np.random.RandomState(0).randn(3, 10, 32), jnp.float32)
         lengths = jnp.array([10, 7, 4])
@@ -51,10 +54,30 @@ class TestLayerForward:
         variables = layer.init(jax.random.PRNGKey(0), x, key_padding_mask=mask)
         want = layer.apply(variables, x, key_padding_mask=mask)
         got = layer_forward(
-            variables["params"], x, num_heads=4, valid_mask=mask
+            variables["params"], x, num_heads=4, valid_mask=mask, dtype=dtype
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+    def test_init_matches_sequential_distribution(self):
+        """stacked_layers_init draws the same per-leaf distributions as the
+        sequential layers: lecun-normal kernels (per-layer fan), zero
+        biases, LayerNorm ones/zeros."""
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.parallel.pipeline import (
+            stacked_layers_init,
+        )
+
+        params = stacked_layers_init(4, 64, 128)(jax.random.PRNGKey(0))
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj",
+                     "linear1", "linear2"):
+            assert np.all(np.asarray(params[proj]["bias"]) == 0.0), proj
+            k = np.asarray(params[proj]["kernel"])
+            fan_in = k.shape[1]
+            # lecun-normal: std ~= 1/sqrt(fan_in) per layer slice
+            std = k.std(axis=(1, 2))
+            np.testing.assert_allclose(std, fan_in**-0.5, rtol=0.25)
+        assert np.all(np.asarray(params["norm1"]["scale"]) == 1.0)
+        assert np.all(np.asarray(params["norm2"]["bias"]) == 0.0)
 
     def test_matches_layer_stack_when_stacked(self):
         """A stacked pipe_layers tree fed through the sequential fallback
@@ -284,6 +307,39 @@ def test_pipeline_does_not_compose_with_moe():
     )
     with pytest.raises(ValueError, match="does not compose"):
         enc.init(jax.random.PRNGKey(0), jnp.zeros((2, 4, 8)))
+
+
+def test_effective_batch_pads_for_encoder_microbatches(tiny_model_cfg):
+    """A per-encoder pipeline_microbatches override imposes its own batch
+    divisibility; _effective_batch must pad for the lcm of ALL of them."""
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.train.trainer import (
+        Trainer,
+    )
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.utils.config import (
+        ConfigNode,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+    cfg.set_dotted("dataset.batch_size", 32)
+    cfg.set_dotted(
+        "model.encoders",
+        {
+            "sensor1": {"type": "sequence", "encoder_type": "transformer",
+                        "input_dim": 8, "num_layers": 2,
+                        "pipeline_microbatches": 3},
+            "sensor2": {"type": "sequence", "encoder_type": "lstm",
+                        "input_dim": 8, "num_layers": 1},
+        },
+    )
+    cfg.set_dotted(
+        "parallel", {"num_devices": 8, "pipeline_parallel": 2}
+    )
+    trainer = Trainer(cfg)
+    trainer._ensure_mesh()
+    # lcm(4 data shards, 2 global microbatches, 3 encoder microbatches) = 12
+    assert trainer._effective_batch(32) == 36
 
 
 def test_trainer_rejects_pp_with_tp(tiny_model_cfg):
