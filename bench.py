@@ -234,7 +234,18 @@ def bench_tpu(windows) -> dict:
                     "max_epochs": 1, "learning_rate": 1e-3, "weight_decay": 1e-4,
                     "optimizer": "adamw", "scheduler": "cosine",
                     "gradient_clip_norm": 1.0, "label_smoothing": 0.05,
-                    "augmentation": {"modality_dropout": 0.1},
+                    # BENCH_AUG=full benches with config/base.yaml's FULL
+                    # train-time augmentation (temporal jitter + gaussian
+                    # noise + modality dropout 0.2) — the true
+                    # out-of-the-box train step; default stays the light
+                    # (dropout-only) leg for comparability with the
+                    # recorded history
+                    "augmentation": (
+                        {"temporal_jitter": 0.1, "gaussian_noise": 0.1,
+                         "modality_dropout": 0.2}
+                        if os.environ.get("BENCH_AUG", "") == "full"
+                        else {"modality_dropout": 0.1}
+                    ),
                     # BENCH_PRNG=rbg measures the cheap-RNG dropout path
                     "prng_impl": os.environ.get("BENCH_PRNG", ""),
                 },

@@ -462,7 +462,14 @@ class Trainer:
             shift = jnp.floor(frac * t).astype(jnp.int32)  # [B]
             gather_t = (jnp.arange(t)[None, :] + shift[:, None]) % t
             idx = gather_t.reshape(batch, t, *([1] * (x.ndim - 2)))
-            return jnp.take_along_axis(x, jnp.broadcast_to(idx, x.shape), axis=1)
+            # keep the index [B, T, 1]: XLA lowers this to a ROW gather
+            # (slice size D per index) instead of the per-element gather a
+            # fully-broadcast index forces — measured 45% of device step
+            # time at the flagship shapes before this. Indices are % t, so
+            # skip the bounds clamp too.
+            return jnp.take_along_axis(
+                x, idx, axis=1, mode="promise_in_bounds"
+            )
 
         jittered = {m: roll(v) for m, v in features.items()}
         # lengths stay in the REFERENCE timebase (encoders rescale per
