@@ -41,6 +41,7 @@ from ..ops.metrics import cross_entropy_loss
 from ..parallel.mesh import (
     activation_mesh,
     make_mesh,
+    maybe_initialize_distributed,
     replicated_sharding,
     resolve_num_devices,
     state_shardings,
@@ -248,6 +249,10 @@ class Trainer:
         """Build the mesh on first use (``parallel.num_devices`` > 1):
         1-D data-parallel, or 2-D data x model when model_parallel > 1."""
         if self.mesh is None:
+            # multi-host pods: parallel.coordinator_address wires the
+            # cross-process runtime FIRST so jax.devices() (and therefore
+            # num_devices: auto and the mesh) spans the whole pod
+            maybe_initialize_distributed(self.config.get("parallel", {}))
             n = resolve_num_devices(self.requested_devices)
             if n > 1:
                 self.mesh = make_mesh(

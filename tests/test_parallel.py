@@ -321,6 +321,66 @@ def test_trainer_epoch_sharded_matches_replicated(tiny_model_cfg):
     assert acc_sh == pytest.approx(acc_rep, rel=1e-4)
 
 
+class TestMultihostInit:
+    """parallel.coordinator_address wires jax.distributed.initialize before
+    the mesh is built (multi-host pods). A real rendezvous needs >1 process;
+    these tests pin the config plumbing via injection."""
+
+    def _reset(self, monkeypatch):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.parallel import (
+            mesh as mesh_mod,
+        )
+
+        monkeypatch.setattr(mesh_mod, "_DISTRIBUTED_INITIALIZED", False)
+        calls = []
+        monkeypatch.setattr(
+            mesh_mod.jax.distributed, "initialize",
+            lambda **kw: calls.append(kw),
+        )
+        return mesh_mod, calls
+
+    def test_noop_without_coordinator(self, monkeypatch):
+        mesh_mod, calls = self._reset(monkeypatch)
+        assert mesh_mod.maybe_initialize_distributed({}) is False
+        assert mesh_mod.maybe_initialize_distributed(None) is False
+        assert calls == []
+
+    def test_initializes_once_with_args(self, monkeypatch):
+        mesh_mod, calls = self._reset(monkeypatch)
+        cfg = {"coordinator_address": "10.0.0.1:8476",
+               "num_processes": 4, "process_id": 2}
+        assert mesh_mod.maybe_initialize_distributed(cfg) is True
+        assert mesh_mod.maybe_initialize_distributed(cfg) is True  # idempotent
+        assert calls == [{"coordinator_address": "10.0.0.1:8476",
+                          "num_processes": 4, "process_id": 2}]
+
+    def test_optional_ranks_omitted(self, monkeypatch):
+        mesh_mod, calls = self._reset(monkeypatch)
+        assert mesh_mod.maybe_initialize_distributed(
+            {"coordinator_address": "c:1"}
+        ) is True
+        assert calls == [{"coordinator_address": "c:1"}]
+
+    def test_trainer_wires_it(self, monkeypatch, tiny_model_cfg):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.train.trainer import (
+            Trainer,
+        )
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.utils.config import (
+            ConfigNode,
+        )
+
+        mesh_mod, calls = self._reset(monkeypatch)
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+        cfg.set_dotted(
+            "parallel",
+            {"num_devices": 8, "coordinator_address": "c:1"},
+        )
+        Trainer(cfg)._ensure_mesh()
+        assert calls == [{"coordinator_address": "c:1"}]
+
+
 class _FakeDev:
     """Stands in for a TPU device on a multi-slice pod."""
 
