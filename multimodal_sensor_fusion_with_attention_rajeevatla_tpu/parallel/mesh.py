@@ -359,14 +359,21 @@ def state_shardings(mesh: Mesh, tree, zero_optimizer: bool = False):
         names = _path_names(path)
         # stacked pipeline-parallel layer params (parallel/pipeline.py):
         # the leading [L] layer dim shards over "pipe"
-        if has_pipe and "pipe_layers" in names:
+        is_pipe_leaf = has_pipe and "pipe_layers" in names
+        if is_pipe_leaf:
             spec = P(PIPE_AXIS)
         else:
             spec = tp_param_spec(names) if has_model else P()
         # rank guard: a spec longer than the leaf's rank is invalid
         if len(spec) > getattr(leaf, "ndim", 0):
             spec = P()
-        if zero_n > 1 and "opt_state" in names:
+        # ZeRO-1 never touches pipe_layers moments: they are already
+        # distributed 1/P over "pipe" (the memory win ZeRO targets), and
+        # mixed pipe+data moment sharding next to the pipe-manual shard_map
+        # sits on XLA SPMD partitioner paths that CHECK-failed during
+        # bring-up (spmd_partitioner_util.cc scatter grouping) — kept
+        # conservative even after the schedule's scatter was rewritten.
+        if zero_n > 1 and "opt_state" in names and not is_pipe_leaf:
             shape = getattr(leaf, "shape", ())
             if len(spec) <= len(shape):
                 spec = zero_extend_spec(spec, shape, zero_n)

@@ -348,8 +348,15 @@ def _pipeline_schedule(
         y = stage(inp, vmask, micro_idx)
         out_idx = t - (n_pipe - 1)
         is_out = (rank == n_pipe - 1) & (out_idx >= 0)
-        slot = jnp.clip(out_idx, 0, n_micro - 1)
-        outs = outs.at[slot].set(jnp.where(is_out, y, outs[slot]))
+        # write y into its output slot as a SELECT over the (small) M dim,
+        # not a scatter: XLA's partial-manual scatter partitioning CHECK-
+        # fails when other "data"-sharded tensors (ZeRO moments) change the
+        # program's device grouping, and the select is as fast at M <= 8
+        slot_mask = (jnp.arange(n_micro) == out_idx) & is_out  # [M]
+        outs = jnp.where(
+            slot_mask.reshape((n_micro,) + (1,) * (outs.ndim - 1)),
+            y[None], outs,
+        )
         state = jax.lax.ppermute(y, PIPE_AXIS, fwd_perm)
         return (state, outs), None
 

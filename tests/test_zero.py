@@ -147,3 +147,69 @@ def test_fit_zero_optimizer_matches_single_device(tiny_model_cfg, tmp_path):
     for h1, hn in zip(r1["history"], rn["history"]):
         assert hn["train/loss"] == pytest.approx(h1["train/loss"], rel=2e-4)
         assert hn["val/loss"] == pytest.approx(h1["val/loss"], rel=2e-4)
+
+
+def test_fit_zero_composes_with_pipeline(tiny_model_cfg, tmp_path):
+    """dp x pp + ZeRO-1 in one fit: the non-pipelined moments shard over
+    'data' while the stacked pipe_layers moments keep P('pipe') — adding a
+    'data' dim to those crashes XLA's SPMD partitioner next to the
+    pipe-manual shard_map (so state_shardings deliberately skips them) —
+    and training still matches the 1-device run."""
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.data.dataset import (
+        SyntheticMultimodalDataset,
+    )
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.train.trainer import (
+        Trainer,
+    )
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.utils.config import (
+        ConfigNode,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    dims = {"sensor1": 8, "sensor2": 8}
+    train = SyntheticMultimodalDataset(
+        num_samples=16, num_classes=5, modality_dims=dims,
+        sequence_length=6, split="train",
+    ).windows
+    val = SyntheticMultimodalDataset(
+        num_samples=8, num_classes=5, modality_dims=dims,
+        sequence_length=6, split="val",
+    ).windows
+
+    def run(parallel, pipe_in_encoder):
+        cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+        cfg.set_dotted("dataset.batch_size", 8)
+        cfg.set_dotted("training.max_epochs", 2)
+        cfg.set_dotted("model.dropout", 0.0)
+        cfg.set_dotted("training.augmentation", {"modality_dropout": 0.0})
+        enc = {"type": "sequence", "encoder_type": "transformer",
+               "input_dim": 8, "num_layers": 2}
+        if pipe_in_encoder:
+            enc = dict(enc, pipeline_parallel=2)
+        cfg.set_dotted(
+            "model.encoders", {"sensor1": dict(enc), "sensor2": dict(enc)}
+        )
+        cfg.set_dotted("parallel", parallel)
+        trainer = Trainer(cfg)
+        results = trainer.fit(
+            train, val, save_dir=tmp_path / f"zp{len(parallel)}", log_fn=None
+        )
+        return trainer, results
+
+    t1, r1 = run({}, pipe_in_encoder=True)
+    tn, rn = run(
+        {"num_devices": 8, "pipeline_parallel": 2, "zero_optimizer": True},
+        pipe_in_encoder=False,
+    )
+    specs = {
+        str(s.spec) for s in jax.tree_util.tree_leaves(tn._opt_shardings)
+    }
+    # dense moments ZeRO-shard over 'data'; pipe_layers moments keep the
+    # pure P('pipe') layout (never extended — see state_shardings)
+    assert any("'data'" in s for s in specs), specs
+    assert any(s == "PartitionSpec('pipe',)" for s in specs), specs
+    assert not any("'pipe'" in s and "'data'" in s for s in specs), specs
+    for h1, hn in zip(r1["history"], rn["history"]):
+        assert hn["train/loss"] == pytest.approx(h1["train/loss"], rel=2e-3)
+        assert hn["val/loss"] == pytest.approx(h1["val/loss"], rel=2e-3)
