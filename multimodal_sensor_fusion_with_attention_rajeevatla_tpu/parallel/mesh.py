@@ -130,7 +130,14 @@ def maybe_initialize_distributed(par_cfg) -> bool:
     coord = cfg.get("coordinator_address")
     if not coord:
         return False
-    if _DISTRIBUTED_INITIALIZED:
+    # idempotent against BOTH this module's own prior call and a launcher /
+    # user script that already ran jax.distributed.initialize() itself (the
+    # documented JAX pattern) — a second initialize() raises
+    if _DISTRIBUTED_INITIALIZED or (
+        hasattr(jax.distributed, "is_initialized")
+        and jax.distributed.is_initialized()
+    ):
+        _DISTRIBUTED_INITIALIZED = True
         return True
     kwargs = {"coordinator_address": str(coord)}
     if cfg.get("num_processes") is not None:
@@ -297,10 +304,15 @@ def zero_extend_spec(spec: P, shape, n_data: int) -> P:
 
     Inserts ``DATA_AXIS`` into the FIRST dimension that is currently
     unsharded and whose size divides evenly by ``n_data`` (the data-axis
-    size). Dimensions already sharded (e.g. Megatron "model" on a tp mesh,
-    "pipe" on a pp mesh) are kept — ZeRO composes with tensor/pipeline
-    parallelism by sharding a *different* dim of the same leaf. Returns the
-    original spec when no dimension qualifies (the leaf stays replicated).
+    size). Dimensions already sharded (e.g. Megatron "model" on a tp mesh)
+    are kept — ZeRO composes with tensor parallelism by sharding a
+    *different* dim of the same leaf. Pipeline-parallel ``pipe_layers``
+    leaves never reach this function: :func:`state_shardings` deliberately
+    skips ZeRO extension for them (see the inline note there — mixed
+    pipe+data moment sharding CHECK-failed XLA's SPMD partitioner during
+    bring-up, and those moments are already distributed 1/P over "pipe").
+    Returns the original spec when no dimension qualifies (the leaf stays
+    replicated).
     """
     ndim = len(shape)
     entries = list(spec) + [None] * (ndim - len(spec))
@@ -337,7 +349,9 @@ def state_shardings(mesh: Mesh, tree, zero_optimizer: bool = False):
     array leaf under an ``opt_state`` path (Adam mu/nu, MultiSteps
     accumulators — trees that mirror params) additionally shards over the
     "data" axis on its first evenly-divisible unsharded dim
-    (:func:`zero_extend_spec`). Params stay replicated, so the math is
+    (:func:`zero_extend_spec`) — EXCEPT ``pipe_layers`` moments, which stay
+    sharded only over "pipe" (see the inline note below; they are already
+    distributed 1/P). Params stay replicated, so the math is
     unchanged: XLA materialises the update as reduce-scatter(grad) →
     sharded moment/delta math → all-gather(delta) — each data rank holds
     1/N of the optimizer state instead of a full copy. The "dcn" axis is

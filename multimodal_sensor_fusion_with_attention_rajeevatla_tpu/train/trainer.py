@@ -137,6 +137,12 @@ class Trainer:
 
     def __init__(self, config, model: Optional[MultimodalFusionModel] = None):
         self.config = config
+        # multi-host pods: parallel.coordinator_address must wire the cross-
+        # process runtime BEFORE anything initialises the XLA backend —
+        # from_config below resolves "auto" kernel flags via
+        # jax.default_backend(), after which jax.distributed.initialize()
+        # refuses to run. Idempotent (no-op without the config key).
+        maybe_initialize_distributed(config.get("parallel", {}))
         self.model = model or MultimodalFusionModel.from_config(config)
         self.label_smoothing = float(config.training.get("label_smoothing", 0.0))
         # jax.checkpoint around the forward pass: trades recompute for
@@ -289,8 +295,20 @@ class Trainer:
         models without the flag ignore it entirely.
         """
         if self.mesh is not None:
+            # multi-host: the mesh spans the pod's GLOBAL device set, but a
+            # process may only pin/commit to devices it can address — pick
+            # the first mesh device owned by THIS process (single-process
+            # meshes: that is devices.flat[0] unchanged)
+            proc = jax.process_index()
+            local = [
+                d for d in self.mesh.devices.flat if d.process_index == proc
+            ]
             stack = contextlib.ExitStack()
-            stack.enter_context(jax.default_device(self.mesh.devices.flat[0]))
+            stack.enter_context(
+                jax.default_device(
+                    local[0] if local else self.mesh.devices.flat[0]
+                )
+            )
             stack.enter_context(activation_mesh(self.mesh))
             return stack
         return contextlib.nullcontext()

@@ -361,6 +361,69 @@ class TestMultihostInit:
         ) is True
         assert calls == [{"coordinator_address": "c:1"}]
 
+    def test_external_init_respected(self, monkeypatch):
+        """A launcher that already ran jax.distributed.initialize() itself
+        (JAX's documented pattern) must not trigger a double-init crash."""
+        mesh_mod, calls = self._reset(monkeypatch)
+        monkeypatch.setattr(
+            mesh_mod.jax.distributed, "is_initialized", lambda: True
+        )
+        assert mesh_mod.maybe_initialize_distributed(
+            {"coordinator_address": "c:1"}
+        ) is True
+        assert calls == []
+
+    def test_init_precedes_model_construction(self, monkeypatch, tiny_model_cfg):
+        """jax.distributed.initialize refuses to run once the XLA backend is
+        up, and model construction initialises the backend (kernel-flag
+        "auto" resolution calls jax.default_backend()) — so Trainer must
+        wire the runtime BEFORE building the model."""
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.train import (
+            trainer as trainer_mod,
+        )
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.utils.config import (
+            ConfigNode,
+        )
+
+        mesh_mod, _ = self._reset(monkeypatch)
+        order = []
+        monkeypatch.setattr(
+            mesh_mod.jax.distributed, "initialize",
+            lambda **kw: order.append("init"),
+        )
+        real_from_config = trainer_mod.MultimodalFusionModel.from_config
+        monkeypatch.setattr(
+            trainer_mod.MultimodalFusionModel, "from_config",
+            classmethod(
+                lambda cls, cfg: (order.append("model"), real_from_config(cfg))[1]
+            ),
+        )
+        cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+        cfg.set_dotted("parallel", {"coordinator_address": "c:1"})
+        trainer_mod.Trainer(cfg)
+        assert order == ["init", "model"]
+
+    def test_device_ctx_pins_addressable_device(self, tiny_model_cfg):
+        """On a pod mesh spanning remote processes, _device_ctx must pin to
+        a device THIS process can address, not blindly devices.flat[0]."""
+        import types
+
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.train.trainer import (
+            Trainer,
+        )
+
+        trainer = Trainer(tiny_model_cfg)
+        local = jax.devices()[0]
+        remote = types.SimpleNamespace(
+            process_index=jax.process_index() + 1, id=999
+        )
+        trainer.mesh = types.SimpleNamespace(
+            devices=np.array([remote, local], dtype=object)
+        )
+        with trainer._device_ctx():
+            committed = jnp.asarray(1.0)
+        assert committed.devices() == {local}
+
     def test_trainer_wires_it(self, monkeypatch, tiny_model_cfg):
         from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.train.trainer import (
             Trainer,
