@@ -130,6 +130,11 @@ def build_model(pallas=None):
                     for m in MODALITIES
                 },
             },
+            # BENCH_DROPOUT_RNG=kernel: in-kernel HW-PRNG dropout masks on
+            # the fused paths (training.dropout_rng; ops/pallas_mlp.py)
+            "training": {
+                "dropout_rng": os.environ.get("BENCH_DROPOUT_RNG", "xla"),
+            },
         }
     )
     return MultimodalFusionModel.from_config(config)

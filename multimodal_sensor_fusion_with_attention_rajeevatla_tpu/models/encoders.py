@@ -29,9 +29,14 @@ from flax import linen as nn
 
 from ..ops.masked import lengths_to_mask, masked_mean_pool, masked_softmax, nan_to_num
 from ..ops.pallas_mlp import (
+    _RNG_P_ATT,
+    _RNG_P_HIDDEN,
+    _RNG_P_RES,
     dense_params_init,
+    dropout_keep_mask,
     fused_mlp_residual_ln,
     fused_proj_residual_ln,
+    kernel_rng_seed,
     ln_params_init,
     transformer_ffw,
 )
@@ -232,6 +237,18 @@ class _TransformerEncoderLayer(nn.Module):
     # on the real chip — HEAD's default path must only use TPU-proven
     # kernels (the driver benches HEAD unattended).
     use_fused_mlp_ln: bool = False
+    # dropout-mask source (training.dropout_rng):
+    #   "xla"    — threefry jax.random.bernoulli masks (backend-independent,
+    #              bit-reproducible; default)
+    #   "kernel" — the same u8 masks produced by the dropout_keep_mask
+    #              Pallas kernel (TPU hardware PRNG, ~50x cheaper than the
+    #              threefry fusions — which profiled at ~23% of the flagship
+    #              device step; ops/pallas_mlp.py module docstring).
+    #              Deterministic per seed but TPU-specific streams (same
+    #              caveat as training.prng_impl: rbg). Falls back to "xla"
+    #              off-TPU / in interpret mode, where the HW PRNG does not
+    #              exist.
+    dropout_rng: str = "xla"
     # Megatron-style SEQUENCE PARALLELISM over the mesh's "model" axis
     # (parallel.sequence_parallel): the norm/dropout/residual regions hold
     # their [B, T, H] activations sharded on T across the tensor-parallel
@@ -344,13 +361,37 @@ class _TransformerEncoderLayer(nn.Module):
         )
         pn1 = self.param("norm1", ln_params_init(self.hidden_dim))
         keep_prob = 1.0 - self.dropout
+        # HW-PRNG dropout masks (training.dropout_rng: kernel): one [2]-word
+        # seed per layer, masks generated by the dropout_keep_mask Pallas
+        # kernel (~50x cheaper than the threefry fusions; ops/pallas_mlp.py
+        # module docstring). Only on REAL-Mosaic kernel paths — interpret
+        # mode's HW PRNG is a zero stub, so off-TPU this mode falls back to
+        # the XLA bernoulli draws below.
+        krng = (
+            str(self.dropout_rng).lower() == "kernel"
+            and not interpret
+            and train
+            and self.dropout > 0.0
+        )
+        if krng:
+            krng_seed = kernel_rng_seed(self.make_rng("dropout"))
+
+            def _hw_mask(cols, purpose):
+                return dropout_keep_mask(
+                    krng_seed, batch * seq_len, cols, keep_prob,
+                    purpose=purpose,
+                ).reshape(batch, seq_len, cols)
+
         att_mask = None
         if train and self.dropout > 0.0:
-            att_mask = jax.random.bernoulli(
-                self.make_rng("dropout"),
-                keep_prob,
-                (batch, seq_len, self.hidden_dim),
-            )
+            if krng:
+                att_mask = _hw_mask(self.hidden_dim, _RNG_P_ATT)
+            else:
+                att_mask = jax.random.bernoulli(
+                    self.make_rng("dropout"),
+                    keep_prob,
+                    (batch, seq_len, self.hidden_dim),
+                )
         cd = self.dtype or jnp.float32
         # TRAIN-only kernel: in the pipelined eval regime XLA's own fusion of
         # this matmul+elementwise chain measured faster (10,496 vs 10,107
@@ -444,17 +485,23 @@ class _TransformerEncoderLayer(nn.Module):
         # the same draws (backend-independent training semantics). Plain
         # threefry bernoulli: a 4-masks-per-word packed variant was measured
         # SLOWER on TPU (docs/notes.md "negative results") and was removed.
+        # training.dropout_rng: kernel swaps the threefry draws for the
+        # HW-PRNG generator kernel (same u8 masks, ~50x cheaper to produce).
         if train and self.dropout > 0.0:
-            keep_mask = jax.random.bernoulli(
-                self.make_rng("dropout"),
-                keep_prob,
-                (batch, seq_len, self.dim_feedforward),
-            )
-            res_mask = jax.random.bernoulli(
-                self.make_rng("dropout"),
-                keep_prob,
-                (batch, seq_len, self.hidden_dim),
-            )
+            if krng:
+                keep_mask = _hw_mask(self.dim_feedforward, _RNG_P_HIDDEN)
+                res_mask = _hw_mask(self.hidden_dim, _RNG_P_RES)
+            else:
+                keep_mask = jax.random.bernoulli(
+                    self.make_rng("dropout"),
+                    keep_prob,
+                    (batch, seq_len, self.dim_feedforward),
+                )
+                res_mask = jax.random.bernoulli(
+                    self.make_rng("dropout"),
+                    keep_prob,
+                    (batch, seq_len, self.hidden_dim),
+                )
         if self.use_fused_mlp and self.use_fused_mlp_ln:
             # whole second half of the layer in ONE kernel: FFW + residual
             # dropout + add + LayerNorm (ops/pallas_mlp.py). Neither the
@@ -523,6 +570,10 @@ class SequenceEncoder(nn.Module):
     flash_attention: bool = False  # Pallas flash attention (transformer path)
     fused_mlp: bool = False  # Pallas fused feed-forward (transformer path)
     fused_mlp_ln: bool = False  # widen fusion to residual-dropout + norm2
+    # dropout-mask source for the fused kernels: "xla" (threefry bernoulli,
+    # backend-independent; default) | "kernel" (in-kernel TPU HW PRNG —
+    # training.dropout_rng; see _TransformerEncoderLayer.dropout_rng)
+    dropout_rng: str = "xla"
     # Megatron sequence parallelism over the active tensor-parallel mesh
     # (transformer path; see _TransformerEncoderLayer.seq_parallel)
     sequence_parallel: bool = False
@@ -636,6 +687,7 @@ class SequenceEncoder(nn.Module):
                     use_flash=self.flash_attention,
                     use_fused_mlp=self.fused_mlp,
                     use_fused_mlp_ln=self.fused_mlp_ln,
+                    dropout_rng=self.dropout_rng,
                     seq_parallel=self.sequence_parallel,
                     moe_experts=self.moe_experts,
                     moe_top_k=self.moe_top_k,
@@ -769,8 +821,8 @@ def build_encoder(
     def make_sequence():
         allowed = {"hidden_dim", "num_layers", "encoder_type", "dropout",
                    "flash_attention", "fused_mlp", "fused_mlp_ln",
-                   "sequence_parallel", "moe_experts", "moe_top_k",
-                   "moe_capacity_factor", "pipeline_parallel",
+                   "dropout_rng", "sequence_parallel", "moe_experts",
+                   "moe_top_k", "moe_capacity_factor", "pipeline_parallel",
                    "pipeline_microbatches", "dtype"}
         enc = SequenceEncoder(output_dim=output_dim, **{k: v for k, v in config.items() if k in allowed})
         enc._check()

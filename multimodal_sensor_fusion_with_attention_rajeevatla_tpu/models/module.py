@@ -295,6 +295,17 @@ class MultimodalFusionModel(nn.Module):
         seq_par = bool(par_cfg.get("sequence_parallel", False))
         pipe_par = int(par_cfg.get("pipeline_parallel", 1) or 1)
         pipe_micro = int(par_cfg.get("microbatches", 0) or 0)
+        # training.dropout_rng: xla (threefry bernoulli masks; default) |
+        # kernel (in-kernel TPU HW PRNG on the fused-kernel paths — see
+        # ops/pallas_mlp.py; silently equals xla off-TPU, where the HW PRNG
+        # does not exist)
+        train_cfg = config.get("training", {}) or {}
+        dropout_rng = str(train_cfg.get("dropout_rng", "xla") or "xla").lower()
+        if dropout_rng not in ("xla", "kernel"):
+            raise ValueError(
+                f"Unknown training.dropout_rng {dropout_rng!r}; "
+                "expected xla or kernel"
+            )
         enc_cfgs = {}
         all_encoder_cfg = model_cfg.get("encoders", {}) or {}
         for name in modalities:
@@ -307,6 +318,7 @@ class MultimodalFusionModel(nn.Module):
                 cfg.setdefault("flash_attention", bool(flash))
                 cfg.setdefault("fused_mlp", bool(fused_mlp))
                 cfg.setdefault("fused_mlp_ln", bool(fused_mlp_ln))
+                cfg.setdefault("dropout_rng", dropout_rng)
                 # parallel.sequence_parallel: Megatron sequence parallelism
                 # in the transformer layers — only meaningful when the
                 # Trainer also runs a model_parallel mesh (the constraints

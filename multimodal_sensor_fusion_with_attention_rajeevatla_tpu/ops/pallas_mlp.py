@@ -22,12 +22,26 @@ These kernels keep the hidden activation entirely in VMEM:
   they are written to HBM once, at the final grid step. ``db2`` is one XLA
   column reduction outside the kernel.
 
-The dropout keep-mask is drawn OUTSIDE the kernel from the module's threefry
-``dropout`` rng stream (`jax.random.bernoulli`), so training semantics are
-backend-independent and bit-reproducible: the fused and unfused paths consume
-the same mask and agree to kernel-precision tolerance. (An in-kernel
-hardware-PRNG mask would be faster still but would make the realised dropout
-pattern depend on which backend resolved ``fused_mlp: auto`` — rejected.)
+The dropout keep-mask is drawn OUTSIDE the kernel, from one of two sources:
+
+- DEFAULT (``training.dropout_rng: xla``): the module's threefry ``dropout``
+  rng stream (`jax.random.bernoulli`) — backend-independent and
+  bit-reproducible: the fused and unfused paths consume the same mask and
+  agree to kernel-precision tolerance.
+- OPT-IN (``training.dropout_rng: kernel``): :func:`dropout_keep_mask`, a
+  dedicated Pallas kernel that fills the u8 mask with the TPU hardware PRNG.
+  Profiling the flagship train step showed the XLA threefry mask fusions
+  alone at ~23% of device step time (docs/notes.md); the HW-PRNG generator
+  produces the same masks at ~2,700 Gelem/s (~0.03 ms per
+  ``[32768, 2048]`` mask vs ~1.4 ms threefry). The masks still stream
+  through HBM as u8 into the unchanged consumption kernels — generating
+  them INSIDE the matmul kernels was measured SLOWER (the per-tile draws
+  serialize against the MXU and the scale scratch shrinks the row tiles;
+  1,573–1,680 vs 1,910 train-windows/s), so the generator stays a separate
+  kernel that XLA schedules like any other producer. Draws are
+  deterministic per seed but TPU-generation-specific (same caveat as
+  ``training.prng_impl: rbg``), hence opt-in; validated on-chip by
+  ``scripts/validate_kernel_rng.py``.
 
 Gradient equivalence vs ``jax.grad`` of the XLA path is pinned in
 ``tests/test_pallas_mlp.py``.
@@ -68,6 +82,105 @@ def _inv_keep(keep_prob: float) -> float:
     surviving element — return 0.0 instead of dividing by zero (torch
     ``Dropout(p=1)`` semantics: the output is exactly zero, not NaN)."""
     return 0.0 if keep_prob <= 0.0 else float(1.0 / keep_prob)
+
+
+# --- hardware-PRNG dropout-mask generator (training.dropout_rng: kernel) ---
+#
+# ``pltpu.prng_seed`` accepts at most TWO 32-bit words, so the (seed, purpose,
+# row-group) triple is folded into two words with odd-constant multiplies
+# (golden-ratio / murmur3 mixers). The +1 on the group index keeps group 0
+# from degenerating to the raw seed word.
+_RNG_P_HIDDEN = 1  # [N, d_ff] mask between ReLU and the second matmul
+_RNG_P_RES = 2  # [N, d_in] residual-dropout mask (FFW side)
+_RNG_P_ATT = 3  # [N, d_in] residual-dropout mask (attention side)
+
+
+def _keep_thr(keep_prob: float) -> int:
+    """uint32 threshold: keep an element iff its random word < thr."""
+    return min(int(round(float(keep_prob) * 2.0**32)), 2**32 - 1)
+
+
+def kernel_rng_seed(key) -> jax.Array:
+    """Fold a JAX PRNG key into the ``[2]`` int32 seed-word array
+    :func:`dropout_keep_mask` consumes.
+
+    Accepts typed keys of any impl (threefry = 2 words, rbg/unsafe_rbg = 4)
+    and legacy raw ``uint32`` key arrays; extra words fold in by XOR so the
+    whole key contributes."""
+    data = key
+    if jnp.issubdtype(jnp.asarray(key).dtype, jax.dtypes.prng_key):
+        data = jax.random.key_data(key)
+    flat = jax.lax.bitcast_convert_type(
+        jnp.asarray(data).reshape(-1).astype(jnp.uint32), jnp.int32
+    )
+    words = [flat[i] for i in range(flat.shape[0])]
+    w0 = words[0]
+    w1 = words[1] if len(words) > 1 else words[0]
+    for i, w in enumerate(words[2:]):
+        if i % 2 == 0:
+            w0 = w0 ^ w
+        else:
+            w1 = w1 ^ w
+    return jnp.stack([w0, w1])
+
+
+def dropout_keep_mask(
+    rng_seed: jax.Array,  # [2] int32 (kernel_rng_seed)
+    rows: int,
+    cols: int,
+    keep_prob: float,
+    purpose: int = _RNG_P_HIDDEN,
+    interpret: bool = False,
+) -> jax.Array:
+    """``uint8`` Bernoulli(keep_prob) keep mask from the TPU hardware PRNG.
+
+    One PRNG seeding + one whole-tile draw per grid step, seeded by
+    ``(seed0 ^ purpose*MIX0, seed1 ^ (tile+1)*MIX1)`` — deterministic per
+    (seed, purpose, shape). Because the mask is generated ONCE here and
+    streamed into the consumption kernels as an ordinary u8 input, the
+    stream does not need to be tiling-independent (unlike an in-kernel
+    regeneration scheme, which was tried and measured slower — module
+    docstring); a per-8-row-group seeded variant also measured ~7x slower
+    in-program (0.57 vs ~0.09 ms per [32768, 2048] mask: the seed/draw
+    loop serializes the VPU). ``pltpu.prng_random_bits`` returns int32; the
+    uint32 bitcast before the threshold compare is what makes it unsigned
+    (measured: a signed compare skews the keep-rate). The compare selects
+    f32 and converts on the output store (f32 -> bool -> u8, the one cast
+    chain Mosaic supports — a u8 select needs an i1 relayout it rejects).
+
+    Requires a real TPU: the interpret-mode HW PRNG is a zero stub, which
+    would silently produce an all-drop mask — rejected instead.
+    """
+    if interpret:
+        raise ValueError(
+            "dropout_keep_mask needs a real TPU (the interpret-mode hardware"
+            " PRNG is a zero stub)"
+        )
+    mix0 = np.int32(-1640531527)  # 0x9E3779B9
+    mix1 = np.int32(-2048144789)  # 0x85EBCA6B
+    thr = np.uint32(_keep_thr(keep_prob))
+    # bits (i32) + f32 select live per tile: ~8 B/element -> ~4 MB budget
+    block = max(8, min(512, ((4 << 20) // (8 * cols)) // 8 * 8, (rows // 8) * 8 or 8))
+    pad_rows = rows + (-rows) % block
+
+    def kern(seed_ref, o_ref):
+        w0 = seed_ref[0] ^ (jnp.int32(purpose) * mix0)
+        w1 = seed_ref[1] ^ ((pl.program_id(0) + jnp.int32(1)) * mix1)
+        pltpu.prng_seed(w0, w1)
+        bits = pltpu.prng_random_bits((block, cols)).astype(jnp.uint32)
+        scale = jnp.where(bits < thr, jnp.float32(1.0), jnp.float32(0.0))
+        o_ref[:] = (scale > 0.0).astype(jnp.uint8)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(pad_rows // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(
+            (block, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((pad_rows, cols), jnp.uint8),
+    )(rng_seed)
+    return out[:rows]
 
 
 def _pick_block_rows(d_ff: int, budget_bytes: int) -> int:

@@ -112,6 +112,26 @@ class TestFromConfig:
         with _pytest.raises(ValueError, match="Unknown pallas_rnn"):
             MultimodalFusionModel.from_config(cfg)
 
+    def test_dropout_rng_config(self, tiny_model_cfg):
+        """training.dropout_rng: validated at build, threaded into every
+        transformer encoder config; bogus values raise."""
+        import pytest as _pytest
+
+        cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+        cfg.set_dotted("training.dropout_rng", "kernel")
+        cfg.set_dotted(
+            "model.encoders.sensor1",
+            {"type": "sequence", "encoder_type": "transformer", "num_layers": 1},
+        )
+        model = MultimodalFusionModel.from_config(cfg)
+        enc_cfg = dict(dict(model.encoder_configs)["sensor1"])
+        assert enc_cfg["dropout_rng"] == "kernel"
+
+        cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+        cfg.set_dotted("training.dropout_rng", "bogus")
+        with _pytest.raises(ValueError, match="Unknown training.dropout_rng"):
+            MultimodalFusionModel.from_config(cfg)
+
     def test_return_attention_non_hybrid_raises(self, tiny_model_cfg):
         cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
         cfg.set_dotted("model.fusion_type", "early")

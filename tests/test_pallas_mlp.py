@@ -484,3 +484,57 @@ class TestEdgeCases:
 
         g = jax.grad(loss)(a)
         assert g.dtype == jnp.bfloat16
+
+
+class TestKernelRngMode:
+    """HW-PRNG dropout-mask generator (``training.dropout_rng: kernel``).
+
+    The real PRNG stream only exists on a TPU (interpret mode stubs it to
+    zeros), so stream numerics are validated on-chip by
+    ``scripts/validate_kernel_rng.py``; these tests pin the PLUMBING — API
+    contracts, seed folding, and the documented off-TPU fallback to the XLA
+    draws."""
+
+    def test_generator_rejected_in_interpret_mode(self):
+        """The interpret-mode TPU PRNG is a zero stub (= every element
+        dropped) — silently accepting it would train a dead model."""
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_mlp import (
+            dropout_keep_mask,
+        )
+
+        seed = jnp.array([1, 2], jnp.int32)
+        with pytest.raises(ValueError, match="real TPU"):
+            dropout_keep_mask(seed, 16, 32, 0.9, interpret=True)
+
+    def test_kernel_rng_seed_folds_any_key_to_two_words(self):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_mlp import (
+            kernel_rng_seed,
+        )
+
+        typed = kernel_rng_seed(jax.random.key(3))
+        legacy = kernel_rng_seed(jax.random.PRNGKey(3))
+        rbg = kernel_rng_seed(jax.random.key(3, impl="rbg"))
+        for s in (typed, legacy, rbg):
+            assert s.shape == (2,) and s.dtype == jnp.int32
+        # typed and legacy threefry keys carry the same words
+        np.testing.assert_array_equal(typed, legacy)
+        # different keys -> different seeds
+        assert not np.array_equal(typed, kernel_rng_seed(jax.random.key(4)))
+
+    def test_encoder_dropout_rng_kernel_falls_back_off_tpu(self):
+        """On CPU (interpret mode) ``dropout_rng: kernel`` must resolve to
+        the XLA draws — identical stochastic outputs to the default mode."""
+        common = dict(
+            hidden_dim=32, output_dim=16, num_layers=1,
+            encoder_type="transformer", dropout=0.25,
+            fused_mlp=True, fused_mlp_ln=True,
+        )
+        enc_xla = SequenceEncoder(dropout_rng="xla", **common)
+        enc_krn = SequenceEncoder(dropout_rng="kernel", **common)
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.standard_normal((3, 12, 8)), jnp.float32)
+        va = enc_xla.init(jax.random.PRNGKey(0), x)
+        drop = jax.random.PRNGKey(42)
+        out_a = enc_xla.apply(va, x, train=True, rngs={"dropout": drop})
+        out_b = enc_krn.apply(va, x, train=True, rngs={"dropout": drop})
+        np.testing.assert_allclose(out_a, out_b, atol=1e-6, rtol=1e-6)
