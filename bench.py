@@ -130,10 +130,11 @@ def build_model(pallas=None):
                     for m in MODALITIES
                 },
             },
-            # BENCH_DROPOUT_RNG=kernel: in-kernel HW-PRNG dropout masks on
-            # the fused paths (training.dropout_rng; ops/pallas_mlp.py)
+            # BENCH_DROPOUT_RNG=xla|kernel|auto: dropout-mask source
+            # (training.dropout_rng; ops/pallas_mlp.py). Default mirrors the
+            # shipping config (auto = HW-PRNG generator kernel on TPU).
             "training": {
-                "dropout_rng": os.environ.get("BENCH_DROPOUT_RNG", "xla"),
+                "dropout_rng": os.environ.get("BENCH_DROPOUT_RNG", "auto"),
             },
         }
     )

@@ -238,17 +238,19 @@ class _TransformerEncoderLayer(nn.Module):
     # kernels (the driver benches HEAD unattended).
     use_fused_mlp_ln: bool = False
     # dropout-mask source (training.dropout_rng):
+    #   "auto"   — "kernel" on a real TPU, "xla" elsewhere (default)
     #   "xla"    — threefry jax.random.bernoulli masks (backend-independent,
-    #              bit-reproducible; default)
+    #              bit-reproducible across versions — pick for exact
+    #              cross-machine replay)
     #   "kernel" — the same u8 masks produced by the dropout_keep_mask
-    #              Pallas kernel (TPU hardware PRNG, ~50x cheaper than the
+    #              Pallas kernel (TPU hardware PRNG, ~15x cheaper than the
     #              threefry fusions — which profiled at ~23% of the flagship
     #              device step; ops/pallas_mlp.py module docstring).
     #              Deterministic per seed but TPU-specific streams (same
     #              caveat as training.prng_impl: rbg). Falls back to "xla"
     #              off-TPU / in interpret mode, where the HW PRNG does not
     #              exist.
-    dropout_rng: str = "xla"
+    dropout_rng: str = "auto"
     # Megatron-style SEQUENCE PARALLELISM over the mesh's "model" axis
     # (parallel.sequence_parallel): the norm/dropout/residual regions hold
     # their [B, T, H] activations sharded on T across the tensor-parallel
@@ -368,7 +370,7 @@ class _TransformerEncoderLayer(nn.Module):
         # mode's HW PRNG is a zero stub, so off-TPU this mode falls back to
         # the XLA bernoulli draws below.
         krng = (
-            str(self.dropout_rng).lower() == "kernel"
+            str(self.dropout_rng).lower() in ("kernel", "auto")
             and not interpret
             and train
             and self.dropout > 0.0
@@ -570,10 +572,10 @@ class SequenceEncoder(nn.Module):
     flash_attention: bool = False  # Pallas flash attention (transformer path)
     fused_mlp: bool = False  # Pallas fused feed-forward (transformer path)
     fused_mlp_ln: bool = False  # widen fusion to residual-dropout + norm2
-    # dropout-mask source for the fused kernels: "xla" (threefry bernoulli,
-    # backend-independent; default) | "kernel" (in-kernel TPU HW PRNG —
-    # training.dropout_rng; see _TransformerEncoderLayer.dropout_rng)
-    dropout_rng: str = "xla"
+    # dropout-mask source: "auto" (kernel on TPU; default) | "xla"
+    # (threefry bernoulli, backend-independent) | "kernel" (TPU HW-PRNG
+    # generator — training.dropout_rng; see _TransformerEncoderLayer)
+    dropout_rng: str = "auto"
     # Megatron sequence parallelism over the active tensor-parallel mesh
     # (transformer path; see _TransformerEncoderLayer.seq_parallel)
     sequence_parallel: bool = False

@@ -127,6 +127,15 @@ class TestFromConfig:
         enc_cfg = dict(dict(model.encoder_configs)["sensor1"])
         assert enc_cfg["dropout_rng"] == "kernel"
 
+        # default is auto (kernel on TPU, xla elsewhere — resolved in-layer)
+        cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
+        cfg.set_dotted(
+            "model.encoders.sensor1",
+            {"type": "sequence", "encoder_type": "transformer", "num_layers": 1},
+        )
+        model = MultimodalFusionModel.from_config(cfg)
+        assert dict(dict(model.encoder_configs)["sensor1"])["dropout_rng"] == "auto"
+
         cfg = ConfigNode(tiny_model_cfg.to_container(resolve=False))
         cfg.set_dotted("training.dropout_rng", "bogus")
         with _pytest.raises(ValueError, match="Unknown training.dropout_rng"):
