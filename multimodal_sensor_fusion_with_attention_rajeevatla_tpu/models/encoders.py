@@ -363,12 +363,20 @@ class _TransformerEncoderLayer(nn.Module):
         )
         pn1 = self.param("norm1", ln_params_init(self.hidden_dim))
         keep_prob = 1.0 - self.dropout
-        # HW-PRNG dropout masks (training.dropout_rng: kernel): one [2]-word
-        # seed per layer, masks generated by the dropout_keep_mask Pallas
-        # kernel (~50x cheaper than the threefry fusions; ops/pallas_mlp.py
-        # module docstring). Only on REAL-Mosaic kernel paths — interpret
-        # mode's HW PRNG is a zero stub, so off-TPU this mode falls back to
-        # the XLA bernoulli draws below.
+        # HW-PRNG dropout masks (training.dropout_rng: kernel/auto): one
+        # [2]-word seed per layer, masks generated by the dropout_keep_mask
+        # Pallas kernel (~15x cheaper than the threefry fusions;
+        # ops/pallas_mlp.py module docstring). The generator is ITSELF a
+        # Pallas kernel, so it follows the layer's kernel resolution (the
+        # shared `interpret` flag): it engages only when at least one Pallas
+        # kernel path (flash_attention / fused_mlp) is active on a real TPU.
+        # With both flags off the layer is a pure-XLA program BY REQUEST and
+        # masks stay threefry — also what keeps hermetic CPU-mesh runs (which
+        # pin the kernel flags off) from ever consulting the default backend.
+        # Off-TPU / interpret mode likewise falls back to the XLA draws
+        # below (the interpret-mode HW PRNG is a zero stub). Consequence to
+        # note when A/B-benching: BENCH_DROPOUT_RNG=kernel with BOTH
+        # BENCH_FLASH=0 and BENCH_FUSED_MLP=0 measures the threefry path.
         krng = (
             str(self.dropout_rng).lower() in ("kernel", "auto")
             and not interpret
@@ -458,10 +466,17 @@ class _TransformerEncoderLayer(nn.Module):
             )(x_ffw, valid_mask=key_padding_mask, train=train)
             ff = _shard_t(ff)
             if train and self.dropout > 0.0:
-                res_mask = jax.random.bernoulli(
-                    self.make_rng("dropout"),
-                    keep_prob,
-                    (batch, seq_len, self.hidden_dim),
+                # krng covers this residual mask too (purpose _RNG_P_RES is
+                # unused on the MoE branch); MoE-INTERNAL dropout
+                # (models/moe.py) keeps its own threefry draws
+                res_mask = (
+                    _hw_mask(self.hidden_dim, _RNG_P_RES)
+                    if krng
+                    else jax.random.bernoulli(
+                        self.make_rng("dropout"),
+                        keep_prob,
+                        (batch, seq_len, self.hidden_dim),
+                    )
                 )
                 ff = jnp.where(res_mask, ff / keep_prob, 0.0).astype(ff.dtype)
             r = x.astype(jnp.float32) + ff.astype(jnp.float32)
@@ -597,6 +612,14 @@ class SequenceEncoder(nn.Module):
     def _check(self):
         if self.encoder_type not in ("lstm", "gru", "cnn", "transformer"):
             raise ValueError(f"Unknown encoder type: {self.encoder_type}")
+        # same validation as training.dropout_rng in from_config — a typo'd
+        # per-encoder override must not silently fall back to threefry (the
+        # layer's membership test would read any unknown string as "xla")
+        if str(self.dropout_rng).lower() not in ("auto", "xla", "kernel"):
+            raise ValueError(
+                f"Unknown dropout_rng {self.dropout_rng!r}; "
+                "expected auto, xla or kernel"
+            )
 
     @nn.compact
     def __call__(

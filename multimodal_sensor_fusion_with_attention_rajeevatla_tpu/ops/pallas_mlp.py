@@ -22,26 +22,28 @@ These kernels keep the hidden activation entirely in VMEM:
   they are written to HBM once, at the final grid step. ``db2`` is one XLA
   column reduction outside the kernel.
 
-The dropout keep-mask is drawn OUTSIDE the kernel, from one of two sources:
+The dropout keep-mask is drawn OUTSIDE the kernel, from one of two sources
+(``training.dropout_rng``, DEFAULT ``auto`` = kernel on a real TPU, xla
+elsewhere):
 
-- DEFAULT (``training.dropout_rng: xla``): the module's threefry ``dropout``
-  rng stream (`jax.random.bernoulli`) — backend-independent and
-  bit-reproducible: the fused and unfused paths consume the same mask and
-  agree to kernel-precision tolerance.
-- OPT-IN (``training.dropout_rng: kernel``): :func:`dropout_keep_mask`, a
-  dedicated Pallas kernel that fills the u8 mask with the TPU hardware PRNG.
-  Profiling the flagship train step showed the XLA threefry mask fusions
-  alone at ~23% of device step time (docs/notes.md); the HW-PRNG generator
-  produces the same masks at ~2,700 Gelem/s (~0.03 ms per
-  ``[32768, 2048]`` mask vs ~1.4 ms threefry). The masks still stream
-  through HBM as u8 into the unchanged consumption kernels — generating
-  them INSIDE the matmul kernels was measured SLOWER (the per-tile draws
-  serialize against the MXU and the scale scratch shrinks the row tiles;
-  1,573–1,680 vs 1,910 train-windows/s), so the generator stays a separate
-  kernel that XLA schedules like any other producer. Draws are
-  deterministic per seed but TPU-generation-specific (same caveat as
-  ``training.prng_impl: rbg``), hence opt-in; validated on-chip by
-  ``scripts/validate_kernel_rng.py``.
+- ``kernel`` (the TPU default via ``auto``): :func:`dropout_keep_mask`, a
+  dedicated Pallas kernel that fills the u8 mask with the TPU hardware
+  PRNG. Profiling the flagship train step showed the XLA threefry mask
+  fusions alone at ~23% of device step time (docs/notes.md); the HW-PRNG
+  generator produces the same masks in ~0.09 ms per ``[32768, 2048]`` mask
+  in-program vs ~1.4 ms threefry. The masks still stream through HBM as u8
+  into the unchanged consumption kernels — generating them INSIDE the
+  matmul kernels was measured SLOWER (the per-tile draws serialize against
+  the MXU and the scale scratch shrinks the row tiles; 1,573–1,680 vs
+  1,910 train-windows/s), so the generator stays a separate kernel that
+  XLA schedules like any other producer. Draws are deterministic per seed
+  but TPU-generation-specific (same caveat as ``training.prng_impl:
+  rbg``); validated on-chip by ``scripts/validate_kernel_rng.py``.
+- ``xla``: the module's threefry ``dropout`` rng stream
+  (`jax.random.bernoulli`) — backend-independent and bit-reproducible
+  across machines and versions: the fused and unfused paths consume the
+  same mask and agree to kernel-precision tolerance. Pick this for exact
+  cross-machine replay.
 
 Gradient equivalence vs ``jax.grad`` of the XLA path is pinned in
 ``tests/test_pallas_mlp.py``.

@@ -506,6 +506,17 @@ class TestKernelRngMode:
         with pytest.raises(ValueError, match="real TPU"):
             dropout_keep_mask(seed, 16, 32, 0.9, interpret=True)
 
+    def test_bogus_dropout_rng_rejected_at_encoder(self):
+        """A typo'd per-encoder dropout_rng must raise, not silently fall
+        back to threefry (the layer's membership test would read any
+        unknown string as xla)."""
+        enc = SequenceEncoder(
+            hidden_dim=16, output_dim=8, num_layers=1,
+            encoder_type="transformer", dropout_rng="kernle",
+        )
+        with pytest.raises(ValueError, match="Unknown dropout_rng"):
+            enc.init(jax.random.PRNGKey(0), jnp.ones((2, 8, 4)))
+
     def test_kernel_rng_seed_folds_any_key_to_two_words(self):
         from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_mlp import (
             kernel_rng_seed,
