@@ -295,7 +295,7 @@ def bench_tpu(windows) -> dict:
     }
 
 
-def bench_torch_cpu_baseline(max_windows: int = 12) -> float:
+def bench_torch_cpu_baseline(max_windows: int = 16) -> float:
     """Reference-equivalent hot path on torch CPU, batch_size=1 chunks.
 
     Architecture mirrors the reference flagship with the SAME encoder type as
@@ -397,13 +397,19 @@ def bench_torch_cpu_baseline(max_windows: int = 12) -> float:
         for m, d in DIMS.items()
     }
     with torch.no_grad():
-        model(feats)  # warmup
+        for _ in range(3):
+            model(feats)  # warmup
         times = []
         for _ in range(max_windows):
             t0 = time.perf_counter()
             model(feats)
             times.append(time.perf_counter() - t0)
-    per_window = float(np.median(times))
+    # MIN time, not median: the baseline runs on the shared host CPU and
+    # background load inflated the median by up to ~2.8x across recorded
+    # runs (vs_baseline swung 487-1,828x for the same TPU number). Min is
+    # the standard contention-robust estimator and errs CONSERVATIVE for
+    # vs_baseline (fastest plausible torch-CPU = smallest claimed speedup).
+    per_window = float(np.min(times))
     wps = 1.0 / per_window
     log(f"torch-CPU reference hot path: {per_window*1000:.1f} ms/window ({wps:.1f} windows/s)")
     return wps
