@@ -115,11 +115,14 @@ def main(argv=None):
                 "|---|---|---|---|---|",
             ]
             for b in benches:
+                # latency-only probes (batch-scaling rows) record no train
+                # leg — print a dash, not a misleading 0
+                train = b.get("train_windows_per_sec")
                 lines.append(
                     f"| {b.get('model', '?')} ({b.get('chunk_size', '?')}) | "
                     f"{b.get('value', 0):.0f} | "
-                    f"{(b.get('train_windows_per_sec') or 0):.0f} | "
-                    f"{b.get('p50_latency_ms_per_window', 0):.3f} | "
+                    + (f"{train:.0f} | " if train else "— | ")
+                    + f"{b.get('p50_latency_ms_per_window', 0):.3f} | "
                     f"{b.get('vs_baseline', 0):.0f}× |"
                 )
             lines.append("")
