@@ -121,9 +121,11 @@ def maybe_initialize_distributed(par_cfg) -> bool:
     ``jax.device_put``.
 
     No-op (returns False) without a coordinator address; idempotent across
-    Trainers in one process. Single-host CI cannot validate an actual
-    multi-process rendezvous — the wiring is exercised by unit tests via
-    injection and documented as designed-for in docs/deploy.md.
+    Trainers in one process AND against an externally pre-initialised
+    runtime. A REAL two-process rendezvous (two OS processes, one 8-device
+    global CPU mesh, full Trainer.fit) runs in CI —
+    ``tests/test_multiprocess.py``; config plumbing is additionally
+    unit-tested via injection in ``tests/test_parallel.py``.
     """
     global _DISTRIBUTED_INITIALIZED
     cfg = par_cfg or {}

@@ -23,6 +23,42 @@ import orbax.checkpoint as ocp
 from ..utils.config import ConfigNode
 
 
+def _is_primary() -> bool:
+    """True on the process that owns filesystem mutations (rank 0)."""
+    return jax.process_index() == 0
+
+
+def _sync(name: str) -> None:
+    """Cross-process barrier; no-op single-process.
+
+    Multi-host checkpointing orders rank-0's directory mutations before the
+    all-rank orbax saves (validated by a REAL 2-process CPU rendezvous in
+    ``tests/test_multiprocess.py`` — unsynchronised rmtree/mkdir raced
+    orbax's commit and lost files mid-save)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
+def _host_tree(tree: Any) -> Any:
+    """Fetch a pytree to host numpy, tolerating multi-process shardings.
+
+    Replicated leaves fetch directly; leaves sharded across PROCESSES (ZeRO
+    moments, pipeline layer stacks) are not addressable from any single
+    process, so they all-gather first. Collective: every process must call
+    this (they all do — checkpoint saves are collective in orbax too)."""
+
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(fetch, tree)
+
+
 def _save_variables(path: Path, variables: Dict[str, Any]) -> None:
     with ocp.PyTreeCheckpointer() as checkpointer:
         checkpointer.save(path.resolve() / "variables", variables, force=True)
@@ -94,21 +130,31 @@ class CheckpointManager:
         meta: Dict[str, Any],
         train_state: Any = None,
     ) -> None:
-        if path.exists():
-            shutil.rmtree(path)
-        path.mkdir(parents=True, exist_ok=True)
-        host_vars = jax.tree_util.tree_map(np.asarray, variables)
+        # host fetch FIRST and on EVERY rank: process-sharded leaves (ZeRO
+        # moments, pipe layers) all-gather inside, which is a collective
+        host_vars = _host_tree(variables)
+        host_state = _host_tree(train_state) if train_state is not None else None
+        # rank 0 owns the directory lifecycle; the barrier keeps other ranks
+        # from entering orbax's coordinated save while the dir is mid-rmtree
+        if _is_primary():
+            if path.exists():
+                shutil.rmtree(path)
+            path.mkdir(parents=True, exist_ok=True)
+        _sync("msfa_ckpt_dir_ready")
         _save_variables(path, host_vars)
-        if train_state is not None:
-            host_state = jax.tree_util.tree_map(np.asarray, train_state)
+        if host_state is not None:
             with ocp.PyTreeCheckpointer() as checkpointer:
                 checkpointer.save(
                     path.resolve() / "train_state", host_state, force=True
                 )
-        payload = dict(meta)
-        if self.config is not None:
-            payload["config"] = self.config.to_container(resolve=True)
-        (path / "meta.json").write_text(json.dumps(payload, indent=2))
+        if _is_primary():
+            payload = dict(meta)
+            if self.config is not None:
+                payload["config"] = self.config.to_container(resolve=True)
+            (path / "meta.json").write_text(json.dumps(payload, indent=2))
+        # a non-primary rank may restore this checkpoint right after save
+        # (end-of-fit test eval) — don't let it race rank-0's meta.json
+        _sync("msfa_ckpt_done")
 
     def save(
         self,
@@ -141,7 +187,10 @@ class CheckpointManager:
                 while self.save_top_k > 0 and len(self._entries) > self.save_top_k:
                     worst_entry = max(self._entries, key=lambda e: e[0])
                     self._entries.remove(worst_entry)
-                    if worst_entry[1].exists():
+                    # bookkeeping runs on every rank (scores come from
+                    # replicated metrics, so the lists agree); only rank 0
+                    # touches the filesystem
+                    if _is_primary() and worst_entry[1].exists():
                         shutil.rmtree(worst_entry[1])
 
         if self.save_last:

@@ -628,6 +628,14 @@ class Trainer:
                 return carry, logits
 
             _, logits = jax.lax.scan(body, None, idx_mat)
+            if self.mesh is not None:
+                # replicate before the host fetch: on a multi-PROCESS mesh a
+                # batch-sharded output is not addressable from any single
+                # process (np.asarray raises); the all-gather this inserts
+                # is a no-op cost single-process and rides ICI on pods
+                logits = jax.lax.with_sharding_constraint(
+                    logits, NamedSharding(self.mesh, P())
+                )
             return logits
 
         return jax.jit(eval_fn)
@@ -794,12 +802,13 @@ class Trainer:
             adopt_existing=resume_from is not None,
         )
         writer = None
-        try:
-            from tensorboardX import SummaryWriter
+        if jax.process_index() == 0:  # one event stream per run, not per rank
+            try:
+                from tensorboardX import SummaryWriter
 
-            writer = SummaryWriter(str(save_dir / "logs"))
-        except Exception:
-            pass
+                writer = SummaryWriter(str(save_dir / "logs"))
+            except Exception:
+                pass
 
         best_val = float("inf")
         bad_epochs = 0
@@ -904,7 +913,10 @@ class Trainer:
         results["history"] = history
         results["train_wall_seconds"] = wall
         results_file = save_dir / "results.json"
-        results_file.write_text(json.dumps(results, indent=2))
+        # multi-process: every rank computes the identical results dict
+        # (metrics come from replicated arrays) but only rank 0 writes
+        if jax.process_index() == 0:
+            results_file.write_text(json.dumps(results, indent=2))
         if writer is not None:
             writer.close()
         self._final_state = state
