@@ -40,13 +40,14 @@ cfg = load_config({repo!r} + "/config/base.yaml", [
     "dataset.name=synthetic", "dataset.modalities=[s1,s2]",
     "dataset.num_classes=4", "dataset.num_samples=96",
     "dataset.sequence_length=16", "dataset.batch_size=16",
-    "model.fusion_type=early", "model.hidden_dim=16", "model.output_dim=8",
+    "model.fusion_type=early", "model.output_dim=8",
     "model.layer_norm=false",
-    "model.encoders={{s1: {{type: sequence, encoder_type: cnn, num_layers: 1}}, "
-    "s2: {{type: sequence, encoder_type: cnn, num_layers: 1}}}}",
+    {model_overrides}
     "training.max_epochs=2", "training.scheduler=none",
+    "training.dropout_rng=xla",
     "experiment.name=mh", "experiment.save_dir={save_dir!r}",
     "parallel.num_devices=auto",
+    {parallel_overrides}
     "parallel.coordinator_address=localhost:{port}",
     "parallel.num_processes=2", "parallel.process_id={rank}",
     "seed=7",
@@ -63,6 +64,25 @@ results = trainer.fit(train_w, val_w, test_w)
 print("RANK{rank}_RESULT", results["best_val_loss"], results["test_acc"], flush=True)
 """
 
+CNN_MODEL = (
+    '"model.hidden_dim=16", '
+    '"model.encoders={s1: {type: sequence, encoder_type: cnn, num_layers: 1}, '
+    's2: {type: sequence, encoder_type: cnn, num_layers: 1}}",'
+)
+# tensor-parallel leg: transformer FFW weights shard over a "model" axis that
+# SPANS the two processes, and ZeRO-1 moments shard over the process-spanning
+# "data" axis — checkpointing must process_allgather them (train/checkpoint.py
+# _host_tree), the path the dp leg never touches
+TP_MODEL = (
+    '"model.hidden_dim=32", '
+    '"model.encoders={s1: {type: sequence, encoder_type: transformer, '
+    "num_layers: 1, flash_attention: false, fused_mlp: false, "
+    "fused_mlp_ln: false}, s2: {type: sequence, encoder_type: transformer, "
+    "num_layers: 1, flash_attention: false, fused_mlp: false, "
+    'fused_mlp_ln: false}}",'
+)
+TP_PARALLEL = '"parallel.model_parallel=2", "parallel.zero_optimizer=true",'
+
 
 def _free_port() -> int:
     with socket.socket() as s:
@@ -70,7 +90,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_rendezvous_trains(tmp_path):
+def _run_two_ranks(tmp_path, model_overrides, parallel_overrides):
     port = _free_port()
     save_dir = str(tmp_path / "runs")
     env = dict(os.environ)
@@ -83,7 +103,9 @@ def test_two_process_rendezvous_trains(tmp_path):
         subprocess.Popen(
             [sys.executable, "-u", "-c",
              WORKER.format(repo=str(REPO_ROOT), save_dir=save_dir,
-                           port=port, rank=rank)],
+                           port=port, rank=rank,
+                           model_overrides=model_overrides,
+                           parallel_overrides=parallel_overrides)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=str(REPO_ROOT),
         )
@@ -111,9 +133,13 @@ def test_two_process_rendezvous_trains(tmp_path):
     assert vals[0][0] == vals[0][0]  # finite
     assert abs(vals[0][0] - vals[1][0]) < 1e-4
     assert abs(vals[0][1] - vals[1][1]) < 1e-6
+    return Path(save_dir) / "mh"
+
+
+def test_two_process_rendezvous_trains(tmp_path):
+    run_dir = _run_two_ranks(tmp_path, CNN_MODEL, "")
 
     # rank 0 wrote exactly one results.json + checkpoints; restore works
-    run_dir = Path(save_dir) / "mh"
     results = json.loads((run_dir / "results.json").read_text())
     assert results["best_model_path"]
     ckpts = list((run_dir / "checkpoints").glob("epoch=*-val_loss=*"))
@@ -122,3 +148,12 @@ def test_two_process_rendezvous_trains(tmp_path):
     # meta.json written once, by rank 0, and parseable
     meta = json.loads((ckpts[0] / "meta.json").read_text())
     assert meta["epoch"] >= 0
+
+
+def test_two_process_tp_zero(tmp_path):
+    """dp x tp mesh spanning both processes + ZeRO-1: the optimizer moments
+    and Megatron FFW shards live across processes, so the checkpoint path
+    must all-gather them (``_host_tree``); metrics still replicate."""
+    run_dir = _run_two_ranks(tmp_path, TP_MODEL, TP_PARALLEL)
+    assert (run_dir / "results.json").exists()
+    assert (run_dir / "checkpoints" / "last" / "train_state").exists()
