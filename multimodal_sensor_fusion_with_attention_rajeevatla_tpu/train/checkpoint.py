@@ -126,14 +126,21 @@ class CheckpointManager:
     def _write(
         self,
         path: Path,
-        variables: Dict[str, Any],
+        host_vars: Dict[str, Any],
         meta: Dict[str, Any],
-        train_state: Any = None,
+        host_state: Any = None,
     ) -> None:
-        # host fetch FIRST and on EVERY rank: process-sharded leaves (ZeRO
-        # moments, pipe layers) all-gather inside, which is a collective
-        host_vars = _host_tree(variables)
-        host_state = _host_tree(train_state) if train_state is not None else None
+        """Write one checkpoint directory from HOST numpy trees.
+
+        Multi-host notes: ``save_dir`` must be a filesystem shared by every
+        process (rank 0 writes, all ranks restore — the standard pod setup;
+        host-local paths would leave non-zero ranks unable to restore the
+        best checkpoint for the end-of-fit test eval). The host-numpy
+        design means process-sharded state (ZeRO moments, pipe layers) is
+        all-gathered once per ``save`` — simple and exactly what restore
+        needs on ANY later topology, at the cost of one full-state host
+        copy per epoch; at pod scale where that matters, orbax's native
+        sharded-jax.Array writes are the upgrade path."""
         # rank 0 owns the directory lifecycle; the barrier keeps other ranks
         # from entering orbax's coordinated save while the dir is mid-rmtree
         if _is_primary():
@@ -172,6 +179,12 @@ class CheckpointManager:
             meta.update(extra_meta)
         saved_path: Optional[str] = None
 
+        # host-fetch ONCE per save (collective: every rank participates) —
+        # the top-k and "last" writes below share these trees instead of
+        # re-gathering per write (was 3 param-tree gathers per epoch)
+        host_vars = _host_tree(variables)
+        host_state = _host_tree(train_state) if train_state is not None else None
+
         if self.save_top_k != 0:
             name = f"epoch={epoch}-val_loss={score:.4f}"
             path = self.directory / name
@@ -181,7 +194,7 @@ class CheckpointManager:
                 or len(self._entries) < self.save_top_k
                 or (worst is not None and score < worst)
             ):
-                self._write(path, variables, meta)
+                self._write(path, host_vars, meta)
                 self._entries.append((float(score), path))
                 saved_path = str(path)
                 while self.save_top_k > 0 and len(self._entries) > self.save_top_k:
@@ -194,7 +207,7 @@ class CheckpointManager:
                         shutil.rmtree(worst_entry[1])
 
         if self.save_last:
-            self._write(self.directory / "last", variables, meta, train_state)
+            self._write(self.directory / "last", host_vars, meta, host_state)
         return saved_path
 
 

@@ -21,6 +21,7 @@ Bugs this test caught during bring-up (all fixed in train/):
 from __future__ import annotations
 
 import json
+import math
 import os
 import socket
 import subprocess
@@ -99,6 +100,11 @@ def _run_two_ranks(tmp_path, model_overrides, parallel_overrides):
         JAX_PLATFORMS="cpu",
         XLA_FLAGS="--xla_force_host_platform_device_count=4",
     )
+    # stdout goes to FILES, not PIPEs: a rank whose 64KB pipe fills while
+    # the other is being read blocks inside a collective and stalls the
+    # whole job into the timeout instead of surfacing the real error
+    log_paths = [tmp_path / f"rank{r}.log" for r in (0, 1)]
+    logs = [open(p, "w") for p in log_paths]
     procs = [
         subprocess.Popen(
             [sys.executable, "-u", "-c",
@@ -106,20 +112,22 @@ def _run_two_ranks(tmp_path, model_overrides, parallel_overrides):
                            port=port, rank=rank,
                            model_overrides=model_overrides,
                            parallel_overrides=parallel_overrides)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            stdout=log, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=str(REPO_ROOT),
         )
-        for rank in (0, 1)
+        for rank, log in zip((0, 1), logs)
     ]
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=420)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append(out)
+    try:
+        for p in procs:
+            p.wait(timeout=420)
+    except subprocess.TimeoutExpired:
+        for q in procs:
+            q.kill()
+        raise
+    finally:
+        for log in logs:
+            log.close()
+    outs = [p.read_text() for p in log_paths]
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out[-4000:]}"
 
@@ -130,7 +138,7 @@ def _run_two_ranks(tmp_path, model_overrides, parallel_overrides):
         assert line, out[-2000:]
         _, loss, acc = line[0].rsplit(" ", 2)
         vals.append((float(loss), float(acc)))
-    assert vals[0][0] == vals[0][0]  # finite
+    assert all(math.isfinite(v) for pair in vals for v in pair), vals
     assert abs(vals[0][0] - vals[1][0]) < 1e-4
     assert abs(vals[0][1] - vals[1][1]) < 1e-6
     return Path(save_dir) / "mh"
