@@ -83,6 +83,11 @@ TP_MODEL = (
     'fused_mlp_ln: false}}",'
 )
 TP_PARALLEL = '"parallel.model_parallel=2", "parallel.zero_optimizer=true",'
+# GPipe leg: the layer stack shards over a "pipe" axis that spans the two
+# processes — stage-to-stage ppermute activations ride the cross-process
+# transport inside the shard_map'd schedule
+PP_MODEL = TP_MODEL.replace("num_layers: 1", "num_layers: 2")
+PP_PARALLEL = '"parallel.pipeline_parallel=2",'
 
 
 def _free_port() -> int:
@@ -163,5 +168,14 @@ def test_two_process_tp_zero(tmp_path):
     and Megatron FFW shards live across processes, so the checkpoint path
     must all-gather them (``_host_tree``); metrics still replicate."""
     run_dir = _run_two_ranks(tmp_path, TP_MODEL, TP_PARALLEL)
+    assert (run_dir / "results.json").exists()
+    assert (run_dir / "checkpoints" / "last" / "train_state").exists()
+
+
+def test_two_process_pipeline(tmp_path):
+    """dp x pp mesh spanning both processes: GPipe's stage-to-stage
+    ppermute activations cross the process boundary, and the [L, ...]
+    pipe_layers stacks are process-sharded at checkpoint time."""
+    run_dir = _run_two_ranks(tmp_path, PP_MODEL, PP_PARALLEL)
     assert (run_dir / "results.json").exists()
     assert (run_dir / "checkpoints" / "last" / "train_state").exists()
