@@ -162,6 +162,19 @@ def test_two_process_rendezvous_trains(tmp_path):
     meta = json.loads((ckpts[0] / "meta.json").read_text())
     assert meta["epoch"] >= 0
 
+    # cross-topology restore: the checkpoint a 2-process pod run wrote is
+    # host-numpy, so THIS single-process test runner can rebuild the model
+    # from it alone (the same self-containedness contract as the reference's
+    # load_from_checkpoint)
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.train.checkpoint import (
+        load_checkpoint,
+    )
+
+    variables, cfg, meta2 = load_checkpoint(results["best_model_path"])
+    assert "params" in variables
+    assert cfg is not None
+    assert abs(meta2["val_loss"] - results["best_val_loss"]) < 1e-6
+
 
 def test_two_process_tp_zero(tmp_path):
     """dp x tp mesh spanning both processes + ZeRO-1: the optimizer moments
