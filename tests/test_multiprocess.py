@@ -82,7 +82,10 @@ TP_MODEL = (
     "num_layers: 1, flash_attention: false, fused_mlp: false, "
     'fused_mlp_ln: false}}",'
 )
-TP_PARALLEL = '"parallel.model_parallel=2", "parallel.zero_optimizer=true",'
+TP_PARALLEL = (
+    '"parallel.model_parallel=2", "parallel.zero_optimizer=true", '
+    '"parallel.sequence_parallel=true",'
+)
 # GPipe leg: the layer stack shards over a "pipe" axis that spans the two
 # processes — stage-to-stage ppermute activations ride the cross-process
 # transport inside the shard_map'd schedule
