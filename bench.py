@@ -429,14 +429,22 @@ def _flash_resolved() -> bool:
 
 def main():
     windows, real = load_windows()
-    # the tunneled backend occasionally throws transient FAILED_PRECONDITION;
-    # one retry keeps the driver's single bench invocation alive
-    try:
-        tpu = bench_tpu(windows)
-    except Exception as exc:
-        log(f"bench attempt failed ({type(exc).__name__}: {exc}); retrying once")
-        time.sleep(10)
-        tpu = bench_tpu(windows)
+    # the tunneled backend throws transient FAILED_PRECONDITION/UNAVAILABLE
+    # and has been observed down for minutes at a time; a short backoff
+    # ladder keeps the driver's single bench invocation alive
+    last_exc = None
+    for attempt, delay in enumerate((0, 10, 60, 180)):
+        if delay:
+            log(f"bench attempt failed ({type(last_exc).__name__}: {last_exc}); "
+                f"retry {attempt} after {delay}s")
+            time.sleep(delay)
+        try:
+            tpu = bench_tpu(windows)
+            break
+        except Exception as exc:  # noqa: BLE001 — tunnel errors vary widely
+            last_exc = exc
+    else:
+        raise last_exc
     baseline_wps = bench_torch_cpu_baseline()
     result = {
         "metric": "PAMAP2 windows/sec/chip (preprocess+fwd)",

@@ -483,6 +483,16 @@ class Trainer:
                 return x
             t = x.shape[1]
             shift = jnp.floor(frac * t).astype(jnp.int32)  # [B]
+            if x.shape[-1] < 8:
+                # narrow modalities (heart_rate [B, T, 1]): the row gather
+                # below degenerates to B*T one-element fetches — profiled at
+                # 1 GiB/s, a single op worth ~0.33 ms/step. One contiguous
+                # dynamic slice per sample out of a doubled buffer instead;
+                # the 2x copy is trivial at these widths.
+                doubled = jnp.concatenate([x, x], axis=1)  # [B, 2T, ...]
+                return jax.vmap(
+                    lambda xb, s: jax.lax.dynamic_slice_in_dim(xb, s, t, 0)
+                )(doubled, shift)
             gather_t = (jnp.arange(t)[None, :] + shift[:, None]) % t
             idx = gather_t.reshape(batch, t, *([1] * (x.ndim - 2)))
             # keep the index [B, T, 1]: XLA lowers this to a ROW gather
