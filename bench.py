@@ -162,6 +162,17 @@ def bench_tpu(windows) -> dict:
     steps = (n + BATCH - 1) // BATCH
     idx_np = np.concatenate([np.arange(n), np.zeros(steps * BATCH - n, np.int64)])
     idx_mat = jnp.asarray(idx_np.reshape(steps, BATCH), jnp.int32)
+    # Steady-state throughput geometry: full batches only, so every counted
+    # window is computed exactly once. The padded matrix above re-computes
+    # the last partial batch's filler (427 windows at batch 256 = 17% waste),
+    # which made the old "sustained windows/s" partly a test-set-size
+    # artifact (round-2 verdict weak #6). `% n` only engages when n < BATCH
+    # (synthetic smoke shapes).
+    steps_ss = max(1, n // BATCH)
+    idx_ss = jnp.asarray(
+        (np.arange(steps_ss * BATCH) % n).reshape(steps_ss, BATCH), jnp.int32
+    )
+    n_ss = steps_ss * BATCH
 
     rng = jax.random.PRNGKey(0)
     features, labels, lengths = data.gather(idx_mat[0])
@@ -202,21 +213,21 @@ def bench_tpu(windows) -> dict:
     # fence, so every timed region ends in a device->host read.
     log("compiling epoch forward...")
     t0 = time.perf_counter()
-    float(forward_epoch(variables, data, idx_mat))
+    float(forward_epoch(variables, data, idx_ss))
     log(f"compile+first epoch: {time.perf_counter()-t0:.1f}s")
 
     times = []
     for e in range(EPOCHS):
         t0 = time.perf_counter()
-        float(forward_epoch(variables, data, idx_mat))
+        float(forward_epoch(variables, data, idx_ss))
         dt = time.perf_counter() - t0
         times.append(dt)
         log(
             f"epoch x{repeats} {e}: {dt*1000:.1f} ms "
-            f"({n*repeats/dt:.1f} windows/s)"
+            f"({n_ss*repeats/dt:.1f} windows/s)"
         )
     best = min(times)
-    windows_per_sec = n * repeats / best
+    windows_per_sec = n_ss * repeats / best
 
     # training throughput (fwd+bwd+optimizer), same hoist-proof pattern
     train_wps = None
@@ -261,25 +272,26 @@ def bench_tpu(windows) -> dict:
         train_pallas = os.environ.get("BENCH_TRAIN_PALLAS", "1") == "1"
         trainer = Trainer(train_cfg, model=build_model(pallas=train_pallas))
         boot = next(iter(BatchLoader(windows, BATCH)))
-        state = trainer.init_state(boot, steps_per_epoch=steps)
+        state = trainer.init_state(boot, steps_per_epoch=steps_ss)
         epoch_fn = trainer.make_train_epoch_fn()
-        weights = jnp.ones_like(idx_mat, jnp.float32)
+        weights = jnp.ones_like(idx_ss, jnp.float32)
         log("compiling train epoch...")
-        state, loss, _ = epoch_fn(state, data, idx_mat, weights)
+        state, loss, _ = epoch_fn(state, data, idx_ss, weights)
         float(loss)
         times = []
         for e in range(EPOCHS):
             t0 = time.perf_counter()
-            state, loss, _ = epoch_fn(state, data, idx_mat, weights)
+            state, loss, _ = epoch_fn(state, data, idx_ss, weights)
             float(loss)
             times.append(time.perf_counter() - t0)
-        train_wps = n / min(times)
+        train_wps = n_ss / min(times)
         log(f"train epoch: {min(times)*1000:.1f} ms ({train_wps:.1f} windows/s incl bwd+opt)")
 
     # single-batch p50 latency
+    lat_reps = int(os.environ.get("BENCH_LAT_REPS", "30"))
     float(jnp.sum(forward_batch(variables, data, idx_mat[0])))
     lat = []
-    for _ in range(30):
+    for _ in range(lat_reps):
         t0 = time.perf_counter()
         float(jnp.sum(forward_batch(variables, data, idx_mat[0])))
         lat.append(time.perf_counter() - t0)
@@ -291,6 +303,7 @@ def bench_tpu(windows) -> dict:
         "p50_latency_ms_per_window": p50_window_ms,
         "train_windows_per_sec": train_wps,
         "num_windows": n,
+        "windows_per_epoch_measured": n_ss,
         "batch": BATCH,
     }
 
@@ -427,13 +440,22 @@ def _flash_resolved() -> bool:
     )
 
 
-def main():
+METRIC_NAME = "PAMAP2 windows/sec/chip (preprocess+fwd)"
+# v5e single-chip MXU peak at bf16. Default-precision f32 matmuls execute as
+# single-pass bf16 on the MXU, so this is the honest roofline denominator for
+# both the f32-input default and the BENCH_BF16 path (docs/notes.md).
+V5E_PEAK_TFLOPS_BF16 = 197.0
+
+
+def inner_main():
+    """One measurement pass on the CURRENT default backend. Prints one JSON
+    line on success; exits non-zero on failure (the wrapper owns the
+    always-emit-JSON contract and the wall budget)."""
     windows, real = load_windows()
-    # the tunneled backend throws transient FAILED_PRECONDITION/UNAVAILABLE
-    # and has been observed down for minutes at a time; a short backoff
-    # ladder keeps the driver's single bench invocation alive
+    # short ladder for transient tunnel errors (FAILED_PRECONDITION /
+    # UNAVAILABLE); hard failures are the wrapper's problem — never spin here
     last_exc = None
-    for attempt, delay in enumerate((0, 10, 60, 180)):
+    for attempt, delay in enumerate((0, 10, 30)):
         if delay:
             log(f"bench attempt failed ({type(last_exc).__name__}: {last_exc}); "
                 f"retry {attempt} after {delay}s")
@@ -447,7 +469,7 @@ def main():
         raise last_exc
     baseline_wps = bench_torch_cpu_baseline()
     result = {
-        "metric": "PAMAP2 windows/sec/chip (preprocess+fwd)",
+        "metric": METRIC_NAME,
         "value": round(tpu["windows_per_sec"], 2),
         "unit": "windows/s",
         "model": f"hybrid-{ENCODER}"
@@ -460,6 +482,7 @@ def main():
         "real_data": real,
         "batch": tpu["batch"],
         "num_windows": tpu["num_windows"],
+        "windows_per_epoch_measured": tpu["windows_per_epoch_measured"],
         "train_windows_per_sec": (
             round(tpu["train_windows_per_sec"], 2)
             if tpu.get("train_windows_per_sec")
@@ -469,5 +492,219 @@ def main():
     print(json.dumps(result))
 
 
+def flops_main():
+    """Print analytic model FLOPs/window as one JSON line.
+
+    Runs the benched architecture through XLA's compiled cost analysis on the
+    pure-XLA path (all Pallas kernels off — custom calls are invisible to the
+    cost model; the kernels are equivalence-tested against this exact math),
+    so the number tracks the config automatically. Meant to run on CPU via
+    the wrapper (env pins JAX_PLATFORMS=cpu and the kernel flags off).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    model = build_model(pallas=False)
+    rng = np.random.default_rng(0)
+    features = {
+        m: jnp.asarray(rng.standard_normal((BATCH, CHUNK, d)), jnp.float32)
+        for m, d in DIMS.items()
+    }
+    mask = jnp.ones((BATCH, len(MODALITIES)), jnp.float32)
+    lengths = jnp.full((BATCH,), CHUNK, jnp.int32)
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key}, features, mask, lengths)
+
+    def fwd(variables, features, mask, lengths):
+        return model.apply(variables, features, mask, lengths, train=False)
+
+    compiled = jax.jit(fwd).lower(variables, features, mask, lengths).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    flops = float(ca.get("flops", 0.0)) / BATCH
+    print(json.dumps({"flops_per_window": flops}))
+
+
+def _probe_backend(timeout_s: int):
+    """Can the default backend even initialize? Subprocess so a half-up
+    tunnel that hangs PJRT init cannot stall the wrapper (BENCH_r02 died
+    exactly this way: 25+ min of retries against a dead tunnel, rc=124)."""
+    import subprocess
+
+    code = "import jax; d = jax.devices(); print(jax.default_backend(), len(d))"
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"backend init timed out after {timeout_s}s"
+    if proc.returncode != 0:
+        return False, (proc.stderr.strip() or "backend init failed")[-500:]
+    return True, proc.stdout.strip()
+
+
+def _run_inner(env_extra: dict, timeout_s: int):
+    """Run one measurement subprocess; return (parsed_json | None, error)."""
+    import subprocess
+
+    env = dict(os.environ)
+    env.update(env_extra)
+    env["BENCH_INNER"] = "1"
+    try:
+        proc = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve())],
+            env=env,
+            stdout=subprocess.PIPE,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"measurement timed out after {timeout_s}s"
+    out = proc.stdout or ""
+    if proc.returncode != 0:
+        return None, f"measurement subprocess rc={proc.returncode}"
+    for line in reversed(out.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line), None
+            except json.JSONDecodeError:
+                continue
+    return None, "measurement printed no JSON line"
+
+
+def _flops_per_window(timeout_s: int):
+    import subprocess
+
+    env = dict(os.environ)
+    env.update(
+        {
+            "JAX_PLATFORMS": "cpu",
+            "PALLAS_AXON_POOL_IPS": "",
+            "BENCH_FLASH": "0",
+            "BENCH_FUSED_MLP": "0",
+            "BENCH_FUSED_LN": "0",
+            "BENCH_PALLAS_RNN": "0",
+            "BENCH_DROPOUT_RNG": "xla",
+        }
+    )
+    proc = subprocess.run(
+        [sys.executable, str(Path(__file__).resolve()), "--flops"],
+        env=env,
+        stdout=subprocess.PIPE,
+        text=True,
+        timeout=timeout_s,
+    )
+    if proc.returncode != 0:
+        return None
+    for line in reversed((proc.stdout or "").strip().splitlines()):
+        if line.strip().startswith("{"):
+            return float(json.loads(line)["flops_per_window"])
+    return None
+
+
+def main():
+    """Driver-facing wrapper. Contract: ALWAYS emit exactly one JSON line on
+    stdout within BENCH_TOTAL_BUDGET (default 30 min — BENCH_r02 was killed
+    at ~25 min with nothing printed), whatever the tunneled backend does.
+
+    - healthy backend  -> real measurement (budget BENCH_WALL_BUDGET)
+    - dead/hung tunnel -> fast probe failure (BENCH_PROBE_TIMEOUT), then a
+      clearly-flagged CPU fallback measurement (BENCH_CPU_BUDGET)
+    - everything broken -> {"value": null, "error": ...}
+    Every stage is additionally clamped to what remains of the total budget.
+    """
+    t_start = time.perf_counter()
+    # BENCH_r02 was killed by the driver after ~25 min with nothing printed;
+    # everything below must fit the TOTAL budget, so each stage only gets
+    # what remains of it.
+    total_budget = int(os.environ.get("BENCH_TOTAL_BUDGET", "1800"))
+    probe_timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT", "150"))
+    wall_budget = int(os.environ.get("BENCH_WALL_BUDGET", "1260"))
+    cpu_budget = int(os.environ.get("BENCH_CPU_BUDGET", "600"))
+
+    def remaining(reserve: int = 60) -> int:
+        return max(30, int(total_budget - (time.perf_counter() - t_start)) - reserve)
+
+    result = None
+    tpu_error = None
+    ok, info = _probe_backend(min(probe_timeout, remaining()))
+    if ok:
+        log(f"backend probe ok: {info}")
+        # reserve enough tail for the CPU fallback + the final print
+        result, tpu_error = _run_inner({}, min(wall_budget, remaining(120)))
+        if result is None:
+            log(f"measurement failed on the default backend: {tpu_error}")
+    else:
+        tpu_error = info
+        log(f"backend probe failed ({info}); CPU fallback")
+
+    if result is None:
+        cpu_budget = min(cpu_budget, remaining())
+        cpu_env = {
+            "JAX_PLATFORMS": "cpu",
+            "PALLAS_AXON_POOL_IPS": "",
+            "BENCH_PALLAS_RNN": "0",
+            # keep the fallback quick — it is evidence, not the headline
+            # (CPU runs this model at ~3 windows/s; 30 latency reps alone
+            # would be ~10 min)
+            "BENCH_REPEATS": os.environ.get("BENCH_REPEATS", "1"),
+            "BENCH_EPOCHS": os.environ.get("BENCH_EPOCHS", "1"),
+            "BENCH_TRAIN": os.environ.get("BENCH_TRAIN", "0"),
+            "BENCH_LAT_REPS": os.environ.get("BENCH_LAT_REPS", "5"),
+        }
+        result, cpu_error = _run_inner(cpu_env, cpu_budget)
+        if result is not None:
+            result["backend"] = "cpu-fallback"
+            result["tpu_error"] = str(tpu_error)
+        else:
+            result = {
+                "metric": METRIC_NAME,
+                "value": None,
+                "unit": "windows/s",
+                "error": f"tpu: {tpu_error}; cpu-fallback: {cpu_error}",
+            }
+
+    # FLOPs / MFU enrichment (never fatal; runs on CPU, tunnel-independent)
+    try:
+        flops = _flops_per_window(timeout_s=min(420, remaining(30)))
+    except Exception as exc:  # noqa: BLE001
+        log(f"flops accounting failed: {exc}")
+        flops = None
+    if flops:
+        result["model_flops_per_window"] = round(flops)
+        peak = V5E_PEAK_TFLOPS_BF16 * 1e12
+        result["mfu_peak_tflops_bf16"] = V5E_PEAK_TFLOPS_BF16
+        if result.get("value") and result.get("backend") != "cpu-fallback":
+            result["mfu"] = round(flops * result["value"] / peak, 4)
+            if result.get("train_windows_per_sec"):
+                # fwd+bwd ~= 3x forward FLOPs (standard accounting)
+                result["train_mfu"] = round(
+                    3.0 * flops * result["train_windows_per_sec"] / peak, 4
+                )
+    print(json.dumps(result))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--flops":
+        flops_main()
+    elif os.environ.get("BENCH_INNER") == "1":
+        inner_main()
+    else:
+        try:
+            main()
+        except Exception as exc:  # noqa: BLE001 — the one-JSON-line contract
+            print(
+                json.dumps(
+                    {
+                        "metric": METRIC_NAME,
+                        "value": None,
+                        "unit": "windows/s",
+                        "error": f"{type(exc).__name__}: {exc}",
+                    }
+                )
+            )
