@@ -559,13 +559,17 @@ def create_datasets(
     chunk_cache_dir: Optional[str | Path] = None,
     normalize: bool = False,
     window_stride: Optional[int] = None,
+    val_window_stride: Optional[int] = None,
     **kwargs,
 ) -> Tuple[WindowedSplit, WindowedSplit, WindowedSplit]:
     """Materialise train/val/test :class:`WindowedSplit`s.
 
     ``normalize`` applies per-channel z-scoring with TRAIN-split statistics to
     all three splits. ``window_stride`` (train only) enables overlapping
-    sliding windows.
+    sliding windows. ``val_window_stride`` does the same for the VAL split —
+    used by temperature-scaling calibration, where the tiny surviving-subset
+    val splits (45-89 non-overlapping windows) starve the fit; stride
+    ``chunk//4`` pools ~4x more windows from the same underlying rows.
     """
     if dataset_name == "synthetic":
         def make(split, n):
@@ -593,7 +597,7 @@ def create_datasets(
         ).windows
 
     train_w = make_real("train", stride=window_stride)
-    val_w = make_real("val")
+    val_w = make_real("val", stride=val_window_stride)
     test_w = make_real("test")
     mode = normalize if isinstance(normalize, str) else ("global" if normalize else "none")
     if mode == "instance":

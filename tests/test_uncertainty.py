@@ -125,14 +125,59 @@ class TestTemperatureScaling:
             assert after <= before + 1e-9, (trial, before, after, ts.temperature)
 
     def test_guarded_backs_off_below_min_windows(self):
-        """< min_windows (150): too few windows to estimate 15-bin ECE or to
-        transfer a temperature across subjects — guard keeps T = 1."""
+        """< min_windows (10 * adaptive bins, floor 50): too few windows to
+        estimate even 5-bin ECE or to transfer a temperature across
+        subjects — guard keeps T = 1."""
         rng = np.random.default_rng(5)
-        labels = rng.integers(0, 5, 100)
-        logits = rng.standard_normal((100, 5)) * 4.0  # overconfident
+        labels = rng.integers(0, 5, 45)
+        logits = rng.standard_normal((45, 5)) * 4.0  # overconfident
         ts = TemperatureScaling()
         ts.calibrate_guarded(logits, labels)
         assert ts.temperature == 1.0
+
+    def test_guarded_engages_on_small_split_with_adaptive_bins(self):
+        """60 windows: the old fixed-15-bin guard demanded 150 and silently
+        returned the identity on EVERY real val split (round-2 verdict
+        missing #5). Adaptive bins (n//10, clipped to [5, num_bins]) let a
+        60-window split calibrate with a 6-bin guard."""
+        rng = np.random.default_rng(7)
+        n, c = 60, 5
+        labels = rng.integers(0, c, n)
+        logits = rng.standard_normal((n, c)).astype(np.float32)
+        logits[np.arange(n), labels] += 1.5
+        logits *= 5.0  # heavily overconfident
+        ts = TemperatureScaling()
+        t = ts.calibrate_guarded(logits, labels, num_bins=15)
+        assert t > 1.0
+
+    def test_guarded_win_transfers_to_held_out_split(self):
+        """E2E on a synthetic miscalibrated model: fit on a ~200-window val
+        split, then the SAME temperature must reduce 15-bin ECE on a disjoint
+        test split (the reference reports ECE < 0.03 after scaling,
+        report.typ:186 — the capability must demonstrably engage)."""
+
+        def make_split(n, seed, scale=4.0):
+            r = np.random.default_rng(seed)
+            labels = r.integers(0, 5, n)
+            logits = r.standard_normal((n, 5)).astype(np.float32)
+            logits[np.arange(n), labels] += 1.2
+            return logits * scale, labels
+
+        val_logits, val_labels = make_split(200, 1)
+        test_logits, test_labels = make_split(400, 2)
+        ts = TemperatureScaling()
+        t = ts.calibrate_guarded(val_logits, val_labels, num_bins=15)
+        assert t > 1.2, t
+
+        def ece(logits, labels, temp):
+            probs = np.asarray(jax.nn.softmax(jnp.asarray(logits / temp), -1))
+            return CalibrationMetrics.expected_calibration_error(
+                probs.max(-1), probs.argmax(-1), labels, 15
+            )
+
+        before = ece(test_logits, test_labels, 1.0)
+        after = ece(test_logits, test_labels, t)
+        assert after < before - 0.02, (before, after, t)
 
     def test_guarded_identity_on_calibrated_logits(self):
         """Already-calibrated logits: guard keeps T == 1 (identity)."""
