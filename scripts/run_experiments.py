@@ -86,6 +86,21 @@ def matrix(epochs: int):
                 ],
             )
         )
+    # flagship: the shipping default at FULL training length (base.yaml
+    # max_epochs=100 + early stopping), not the 10-epoch matrix budget —
+    # this is the best-known operating point (reference report.typ:120
+    # claims 0.80-0.85 for hybrid; the 10-epoch rows sit at 0.66-0.78
+    # with ~±6pt seed noise, see report.md seed study)
+    jobs.append(
+        (
+            "flagship",
+            "hybrid_transformer",
+            [
+                "model.fusion_type=hybrid",
+                "experiment.name=hybrid_transformer",
+            ],
+        )
+    )
     # encoder-type ablation: transformer is the shipping default (the
     # fusion-sweep hybrid job); lstm/cnn are the reference-parity variants
     for enc in ("lstm", "cnn"):
@@ -108,8 +123,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--epochs", type=int, default=10)
     parser.add_argument(
-        "--groups", type=str, default="fusion,heads,chunks,single,encoders",
-        help="comma list: fusion,heads,chunks,single,encoders",
+        "--groups", type=str,
+        default="fusion,heads,chunks,single,encoders,flagship",
+        help="comma list: fusion,heads,chunks,single,encoders,flagship",
     )
     parser.add_argument("--experiments_dir", type=str, default="experiments")
     parser.add_argument("--analysis_dir", type=str, default="analysis")
@@ -122,6 +138,7 @@ def main():
         "chunks-ablation": "chunks",
         "single-modality-sweep": "single",
         "encoder-ablation": "encoders",
+        "flagship": "flagship",
     }
 
     failures = []
@@ -147,7 +164,7 @@ def main():
                 "--output_dir", str(out_dir),
                 "--analysis_dir", analysis_dir,
             ]
-            if group == "fusion-sweep":
+            if group in ("fusion-sweep", "flagship"):
                 eval_args.append("--missing_modality_test")
             eval_main(eval_args)
         except Exception as exc:
