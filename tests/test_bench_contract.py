@@ -1,0 +1,86 @@
+"""Driver contract for ``bench.py``: stdout carries EXACTLY one JSON line,
+whatever the (possibly dead) tunneled backend does.
+
+``BENCH_r02.json`` recorded the failure mode these tests pin: the old retry
+ladder re-attempted a dead tunnel for 25+ minutes until the driver's timeout
+killed it with nothing on stdout (rc=124, parsed=null).
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+
+
+def _run_bench(env_overrides, timeout):
+    env = dict(os.environ)
+    env.update(env_overrides)
+    return subprocess.run(
+        [sys.executable, str(REPO_ROOT / "bench.py")],
+        env=env,
+        cwd=str(REPO_ROOT),
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        timeout=timeout,
+    )
+
+
+def _single_json_line(stdout: str) -> dict:
+    lines = [ln for ln in stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, f"expected exactly one stdout line, got {lines!r}"
+    return json.loads(lines[0])
+
+
+@pytest.mark.slow
+def test_bench_emits_error_json_when_everything_is_broken():
+    """Dead backend + a budget too small for the CPU fallback: the wrapper
+    must fail FAST and still print one JSON line with value null + error."""
+    proc = _run_bench(
+        {
+            "JAX_PLATFORMS": "no_such_platform",
+            "BENCH_TOTAL_BUDGET": "90",
+            "BENCH_PROBE_TIMEOUT": "30",
+            # remaining-budget clamp floors stage timeouts at 30s; the CPU
+            # fallback cannot finish a real measurement in that
+            "BENCH_CPU_BUDGET": "30",
+        },
+        timeout=240,
+    )
+    assert proc.returncode == 0, proc.stdout
+    result = _single_json_line(proc.stdout)
+    assert result["value"] is None
+    assert result.get("error")
+    assert result["metric"].startswith("PAMAP2")
+
+
+@pytest.mark.slow
+def test_bench_cpu_fallback_is_flagged():
+    """Dead backend but a workable budget: the wrapper must deliver a real
+    CPU measurement clearly flagged as the fallback, never the headline."""
+    proc = _run_bench(
+        {
+            "JAX_PLATFORMS": "no_such_platform",
+            "PALLAS_AXON_POOL_IPS": "",
+            "BENCH_TOTAL_BUDGET": "900",
+            "BENCH_PROBE_TIMEOUT": "30",
+            "BENCH_CPU_BUDGET": "600",
+            # shrink the fallback measurement itself
+            "BENCH_CHUNK": "64",
+            "BENCH_BATCH": "16",
+            "BENCH_LAT_REPS": "2",
+        },
+        timeout=960,
+    )
+    assert proc.returncode == 0, proc.stdout
+    result = _single_json_line(proc.stdout)
+    assert result["backend"] == "cpu-fallback"
+    assert result["tpu_error"]
+    assert result["value"] and result["value"] > 0
+    # FLOPs accounting rides along even on the fallback path
+    assert result.get("model_flops_per_window", 0) > 0
