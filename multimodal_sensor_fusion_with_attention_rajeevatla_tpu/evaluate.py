@@ -553,6 +553,10 @@ def run_evaluation(
     from .cli import _dataset_kwargs
 
     _kwargs = _dataset_kwargs(config)
+    # overlap factor of the calibration split (chunk/stride) — overlapping
+    # windows are near-duplicates, so calibrate_guarded counts effective
+    # (non-overlapping-equivalent) windows toward its independence thresholds
+    val_overlap = 1
     if bool((config.get("uncertainty", {}) or {}).get("temperature_scaling", False)):
         # Temperature scaling fits on the val split, whose non-overlapping
         # windowing yields only 45-89 windows on the surviving PAMAP2 subset —
@@ -563,7 +567,9 @@ def run_evaluation(
         # no other metric changes.
         chunk = _kwargs.get("chunk_size")
         if _kwargs.get("dataset_name") != "synthetic" and chunk:
-            _kwargs["val_window_stride"] = max(1, int(chunk) // 4)
+            stride = max(1, int(chunk) // 4)
+            _kwargs["val_window_stride"] = stride
+            val_overlap = max(1, int(chunk) // stride)
     _train_w, val_w, test_w = create_datasets(**_kwargs)
     test_data = device_put_split(test_w)
     batch_size = int(config.dataset.get("batch_size", 32))
@@ -706,7 +712,10 @@ def run_evaluation(
         # ECE-guarded: considers {1, NLL-fit T, grid} and keeps whichever
         # minimises val ECE — the raw NLL fit over-sharpens on the tiny
         # surviving-subset val splits and can WORSEN calibration
-        ts.calibrate_guarded(val_logits, np.asarray(val_data.labels), num_bins)
+        ts.calibrate_guarded(
+            val_logits, np.asarray(val_data.labels), num_bins,
+            overlap_factor=val_overlap,
+        )
         scaled = np.asarray(ts(logits))
         scaled_probs = np.asarray(jax.nn.softmax(jnp.asarray(scaled), axis=-1))
         scaled_conf = scaled_probs.max(-1)

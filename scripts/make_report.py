@@ -63,13 +63,21 @@ def main(argv=None):
     # keep the LATEST entry per (model, chunk) and lead with the shipping
     # default (the plain transformer flagship)
     history = []
+    fallbacks = []
     if args.bench and Path(args.bench).exists():
         for line in Path(args.bench).read_text().splitlines():
             line = line.strip()
             if line.startswith("{"):
                 parsed = load_json_str(line)
-                if parsed:
-                    history.append(parsed)
+                if not parsed:
+                    continue
+                # bench.py also emits cpu-fallback rows (backend flag) and
+                # error rows (value null) when the tunneled TPU is down —
+                # neither belongs in the on-chip throughput table
+                if parsed.get("value") is None or parsed.get("backend") == "cpu-fallback":
+                    fallbacks.append(parsed)
+                    continue
+                history.append(parsed)
     latest = {}
     for b in history:
         latest[(b.get("model"), b.get("chunk_size"))] = b
@@ -109,6 +117,15 @@ def main(argv=None):
                 "kernels)."
             )
         lines.append("")
+        if fallbacks:
+            n_err = sum(1 for f in fallbacks if f.get("value") is None)
+            n_cpu = len(fallbacks) - n_err
+            lines += [
+                f"(History also contains {n_cpu} CPU-fallback and {n_err} "
+                "error row(s) recorded while the TPU tunnel was down — "
+                "excluded from the on-chip table above.)",
+                "",
+            ]
         if len(benches) > 1:
             lines += [
                 "| model (chunk) | fwd windows/s | train windows/s | p50 ms/window | vs torch-CPU |",
@@ -126,6 +143,14 @@ def main(argv=None):
                     f"{b.get('vs_baseline', 0):.0f}× |"
                 )
             lines.append("")
+    elif fallbacks:
+        lines += [
+            "## Throughput",
+            "",
+            "No on-chip measurement in the bench history — only CPU-fallback/"
+            "error rows recorded while the TPU tunnel was down.",
+            "",
+        ]
 
     if rows:
         lines += [

@@ -179,6 +179,50 @@ class TestTemperatureScaling:
         after = ece(test_logits, test_labels, t)
         assert after < before - 0.02, (before, after, t)
 
+    def test_guarded_overlap_factor_counts_effective_windows(self):
+        """A stride-pooled split of near-duplicate windows must not pass the
+        min-windows independence threshold on raw count alone (round-3
+        advisor finding): 160 raw windows at overlap 4 are only 40 effective
+        — below the 50-window floor, so the guard keeps T = 1 even though
+        160 independent windows would calibrate."""
+        rng = np.random.default_rng(11)
+        n, c = 40, 5
+        labels_base = rng.integers(0, c, n)
+        logits_base = rng.standard_normal((n, c)).astype(np.float32)
+        logits_base[np.arange(n), labels_base] += 1.5
+        logits_base *= 5.0  # heavily overconfident
+        # simulate 75%-overlap stride pooling as 4 consecutive near-copies
+        logits = np.repeat(logits_base, 4, axis=0)
+        labels = np.repeat(labels_base, 4, axis=0)
+        ts = TemperatureScaling()
+        t = ts.calibrate_guarded(logits, labels, num_bins=15, overlap_factor=4)
+        assert t == 1.0
+        # the same logits counted as independent windows DO calibrate
+        t_raw = TemperatureScaling().calibrate_guarded(logits, labels, num_bins=15)
+        assert t_raw > 1.0
+
+    def test_guarded_duplicated_split_matches_deduped(self):
+        """Exact-duplicate pooling (the idealized overlap) with the matching
+        overlap_factor must produce the same temperature as calibrating the
+        deduplicated split: contiguous folds keep each window's duplicates in
+        one fold, so the cross-check sees the same per-fold composition."""
+        rng = np.random.default_rng(13)
+        n, c = 60, 5
+        labels_base = rng.integers(0, c, n)
+        logits_base = rng.standard_normal((n, c)).astype(np.float32)
+        logits_base[np.arange(n), labels_base] += 1.5
+        logits_base *= 4.0
+        t_dedup = TemperatureScaling().calibrate_guarded(
+            logits_base, labels_base, num_bins=15
+        )
+        t_pooled = TemperatureScaling().calibrate_guarded(
+            np.repeat(logits_base, 4, axis=0),
+            np.repeat(labels_base, 4, axis=0),
+            num_bins=15,
+            overlap_factor=4,
+        )
+        assert t_pooled == pytest.approx(t_dedup)
+
     def test_guarded_identity_on_calibrated_logits(self):
         """Already-calibrated logits: guard keeps T == 1 (identity)."""
         rng = np.random.default_rng(4)
