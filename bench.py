@@ -482,7 +482,13 @@ def inner_main():
         "unit": "windows/s",
         "model": f"hybrid-{ENCODER}"
         + ("-flash" if ENCODER == "transformer" and _flash_resolved() else "")
-        + ("-bf16" if os.environ.get("BENCH_BF16", "0") == "1" else ""),
+        + ("-bf16" if os.environ.get("BENCH_BF16", "0") == "1" else "")
+        # opt-in legs get their own model key so report/bench.jsonl's
+        # latest-per-(model, chunk) grouping never lets an A/B row shadow
+        # the shipping default (BENCH_DROPOUT_RNG=kernel is the TPU default
+        # via training.dropout_rng: auto, so it carries no suffix)
+        + ("-rbg" if os.environ.get("BENCH_PRNG", "") == "rbg" else "")
+        + ("-fullaug" if os.environ.get("BENCH_AUG", "") == "full" else ""),
         "chunk_size": CHUNK,
         "vs_baseline": round(tpu["windows_per_sec"] / baseline_wps, 2),
         "p50_latency_ms_per_window": round(tpu["p50_latency_ms_per_window"], 4),

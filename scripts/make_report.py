@@ -143,6 +143,46 @@ def main(argv=None):
                     f"{b.get('vs_baseline', 0):.0f}× |"
                 )
             lines.append("")
+        # roofline/MFU — rendered from the lead row's analytic-FLOPs keys
+        # (bench.py emits model_flops_per_window + mfu/train_mfu on-chip)
+        if bench.get("mfu") is not None:
+            gflops = bench.get("model_flops_per_window", 0) / 1e9
+            peak = bench.get("mfu_peak_tflops_bf16", 0)
+            fwd_tf = bench["value"] * bench.get("model_flops_per_window", 0) / 1e12
+            lines += [
+                "### Roofline / MFU",
+                "",
+                "Analytic model cost (XLA compiled cost analysis of the pure-XLA",
+                "path, which the Pallas kernels are equivalence-tested against —",
+                f"`bench.py --flops`): **{gflops:.2f} GFLOPs per window** at the",
+                f"shipping default. Against a v5e chip's {peak:.0f} TFLOP/s bf16",
+                "MXU peak (f32-input matmuls execute as single-pass bf16 on the",
+                "MXU at default precision):",
+                "",
+                f"- forward {bench['value']:.0f} windows/s → **{fwd_tf:.1f} "
+                f"TFLOP/s ≈ {bench['mfu'] * 100:.0f}% MFU**;",
+            ]
+            if bench.get("train_mfu") is not None and bench.get("train_windows_per_sec"):
+                train_tf = (
+                    3 * bench["train_windows_per_sec"]
+                    * bench.get("model_flops_per_window", 0) / 1e12
+                )
+                lines.append(
+                    f"- training {bench['train_windows_per_sec']:.0f} windows/s at "
+                    f"the standard fwd+bwd ≈ 3× fwd accounting → **{train_tf:.1f} "
+                    f"TFLOP/s ≈ {bench['train_mfu'] * 100:.0f}% MFU**."
+                )
+            lines += [
+                "",
+                "For a model this small (d=256 GEMMs, heavy non-matmul work in",
+                "masking, gating, layernorms and dropout between them), ~35%",
+                "forward MFU is near the practical ceiling — LLM-scale d≥4096",
+                "stacks are what reach 50–60%. `bench.py` emits",
+                "`model_flops_per_window`, `mfu`, and `train_mfu` in its JSON",
+                "line, so each kernel change is judged directly against this",
+                "roofline (`docs/notes.md` has the measured evidence).",
+                "",
+            ]
     elif fallbacks:
         lines += [
             "## Throughput",
@@ -166,6 +206,55 @@ def main(argv=None):
                 f"{fmt(ev.get('nll'))} |"
             )
         lines.append("")
+
+    # headline robustness: flagship (full-length) over seeds 42/43/44, and
+    # the fusion-vs-best-single margin measured like-for-like at the same
+    # full training length (reference report.typ:164 claims +25-30%)
+    flagship_accs = {
+        name: rows[name].get("test_accuracy")
+        for name in ("hybrid_transformer", "hybrid_transformer_s43", "hybrid_transformer_s44")
+        if name in rows and rows[name].get("test_accuracy") is not None
+    }
+    single_full = {
+        name: rows[name].get("test_accuracy")
+        for name in rows
+        if name.startswith("single_full_") and rows[name].get("test_accuracy") is not None
+    }
+    if len(flagship_accs) >= 2:
+        import statistics
+
+        accs = list(flagship_accs.values())
+        mean, std = statistics.mean(accs), statistics.stdev(accs)
+        lines += [
+            "## Headline accuracy (flagship hybrid transformer, full training length)",
+            "",
+            f"**{mean:.3f} ± {std:.3f}** test accuracy over {len(accs)} seeds "
+            f"({', '.join(f'{s}={fmt(a)}' for s, a in zip(('42', '43', '44'), accs))}).",
+            "",
+        ]
+        if single_full:
+            best_name, best_acc = max(single_full.items(), key=lambda kv: kv[1])
+            margin = (mean - best_acc) / best_acc * 100.0
+            lines += [
+                f"Fusion margin at the operating point: hybrid {mean:.3f} ± {std:.3f} "
+                f"vs best full-length single modality "
+                f"`{best_name.removeprefix('single_full_')}` {best_acc:.3f} "
+                f"(**{margin:+.1f}%**). Full-length single-modality rows: "
+                + ", ".join(
+                    f"{n.removeprefix('single_full_')}={fmt(a)}"
+                    for n, a in sorted(single_full.items())
+                )
+                + ".",
+                "",
+            ]
+        lstm_full = rows.get("encoder_lstm_full", {}).get("test_accuracy")
+        if lstm_full is not None:
+            lines += [
+                f"Reference-parity LSTM encoders at the same full length: "
+                f"{fmt(lstm_full)} (the reference's default encoder; the "
+                "transformer default is the shipping operating point).",
+                "",
+            ]
 
     if uncertainty:
         calibrated = {

@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Local experiment matrix — the reference's 13-job CI "cluster" on one host.
+"""Local experiment matrix — the reference's 13-job CI "cluster" on one host,
+extended with full-length seed/parity jobs (23 jobs total).
 
 The reference scales out via a GitHub Actions matrix (fusion sweep, heads
 ablation, chunk-size ablation, single-modality sweep) whose artifacts a merge
@@ -116,6 +117,50 @@ def matrix(epochs: int):
                 ],
             )
         )
+    # flagship seed sweep: the headline number must be mean±std over seeds,
+    # not one draw — the 10-epoch paired study measured a ±9pt spread
+    # (experiments/bf16_flagship/seed_sweep.json); seed 42 is the flagship
+    # job above
+    for seed in (43, 44):
+        jobs.append(
+            (
+                "flagship-seeds",
+                f"hybrid_transformer_s{seed}",
+                [
+                    "model.fusion_type=hybrid",
+                    f"seed={seed}",
+                    f"experiment.name=hybrid_transformer_s{seed}",
+                ],
+            )
+        )
+    # full-length single-modality runs: fusion-vs-best-single must be
+    # like-for-like at the operating point (reference report.typ:164 claims
+    # +25-30% for fusion over the best single stream at full training length)
+    for modality in MODALITIES:
+        jobs.append(
+            (
+                "single-full",
+                f"single_full_{modality}",
+                [
+                    f"dataset.modalities=[{modality}]",
+                    f"experiment.name=single_full_{modality}",
+                ],
+            )
+        )
+    # full-length LSTM parity run: the reference's DEFAULT encoder is LSTM
+    # (reference config/base.yaml:37-55); the 10-epoch budget (0.416) is not
+    # its operating point
+    jobs.append(
+        (
+            "lstm-full",
+            "encoder_lstm_full",
+            [
+                "model.fusion_type=hybrid",
+                *[f"model.encoders.{m}.encoder_type=lstm" for m in MODALITIES],
+                "experiment.name=encoder_lstm_full",
+            ],
+        )
+    )
     return jobs
 
 
@@ -124,8 +169,10 @@ def main():
     parser.add_argument("--epochs", type=int, default=10)
     parser.add_argument(
         "--groups", type=str,
-        default="fusion,heads,chunks,single,encoders,flagship",
-        help="comma list: fusion,heads,chunks,single,encoders,flagship",
+        default="fusion,heads,chunks,single,encoders,flagship,"
+        "flagship-seeds,single-full,lstm-full",
+        help="comma list: fusion,heads,chunks,single,encoders,flagship,"
+        "flagship-seeds,single-full,lstm-full",
     )
     parser.add_argument("--experiments_dir", type=str, default="experiments")
     parser.add_argument("--analysis_dir", type=str, default="analysis")
@@ -139,6 +186,9 @@ def main():
         "single-modality-sweep": "single",
         "encoder-ablation": "encoders",
         "flagship": "flagship",
+        "flagship-seeds": "flagship-seeds",
+        "single-full": "single-full",
+        "lstm-full": "lstm-full",
     }
 
     failures = []
