@@ -113,8 +113,21 @@ def run_moe_smoke() -> bool:
     (logits1, upd1) = train_apply(variables, feats, key)
     (logits2, upd2) = train_apply(variables, feats, key)
     l1, l2 = np.asarray(logits1), np.asarray(logits2)
-    aux1 = float(upd1["losses"]["moe_aux"])
-    aux2 = float(upd2["losses"]["moe_aux"])
+
+    # the sown moe_aux leaves are nested under each encoder's module path —
+    # reduce the whole collection exactly like Trainer._loss does
+    # (train/trainer.py:433-439)
+    def aux_total(upd):
+        return float(
+            jax.tree_util.tree_reduce(
+                lambda a, b: a + jnp.sum(b),
+                upd.get("losses", {}),
+                jnp.zeros((), jnp.float32),
+            )
+        )
+
+    aux1 = aux_total(upd1)
+    aux2 = aux_total(upd2)
     ok = True
     if not np.all(np.isfinite(l1)):
         log("MOE SMOKE FAIL: non-finite logits")
