@@ -638,8 +638,15 @@ def _last_tpu_row():
             row = json.loads(line)
         except json.JSONDecodeError:
             continue
-        # a real TPU measurement: has a value and is NOT itself a fallback
-        if row.get("value") and row.get("backend") is None:
+        # a real TPU measurement of the DRIVER metric: has a value, is NOT
+        # itself a fallback, and is a throughput row (bench.jsonl also holds
+        # kernel A/B rows under other metrics, e.g. the head-only latency
+        # A/B — those must not become the "last on-chip throughput" context)
+        if (
+            row.get("value")
+            and row.get("backend") is None
+            and row.get("metric", "").startswith("PAMAP2 windows/sec")
+        ):
             keep = (
                 "value", "train_windows_per_sec", "p50_latency_ms_per_window",
                 "model", "chunk_size", "batch", "mfu", "train_mfu", "commit",
