@@ -299,6 +299,69 @@ def _dq_kernel(
         dq_ref[0] = dq_acc[:]
 
 
+def _bwd_fused_kernel(
+    q_ref,      # VMEM [1, T, d]
+    k_ref,      # VMEM [1, T, d]
+    v_ref,      # VMEM [1, T, d]
+    do_ref,     # VMEM [1, T, d]
+    lse_ref,    # VMEM [1, T, 1]
+    delta_ref,  # VMEM [1, T, 1]
+    len_ref,    # VMEM [BH, 1] int32
+    dq_ref,     # VMEM out [1, T, d]
+    dk_ref,     # VMEM out [1, T, d]
+    dv_ref,     # VMEM out [1, T, d]
+    *,
+    sm_scale: float,
+    cast_bf16: bool,
+):
+    """Single-block fused backward: dq + dk + dv in ONE kernel.
+
+    When the whole sequence fits in one [block_q, block_k] tile (the
+    shipping PAMAP2 default: T=512 <= block 512), the split dkv/dq kernels
+    each recompute the full scores->exp->mask->ds chain and duplicate the
+    dO.V^T dot — 8 [T,T,d] dots and 2 exp chains per (batch*head) element.
+    Fusing computes the chain once and 5 dots, cutting both the VPU
+    (softmax-chain) and MXU work of the backward pass, which the round-4
+    train-path profile names as the top device op (docs/notes.md)."""
+    cd = jnp.bfloat16 if cast_bf16 else jnp.float32
+    bh = pl.program_id(0)
+
+    q = q_ref[0].astype(cd)   # [T, d]
+    k = k_ref[0].astype(cd)   # [T, d]
+    do = do_ref[0]            # [T, d]
+    lse = lse_ref[0]          # [T, 1]
+    delta = delta_ref[0]      # [T, 1]
+    valid_len = len_ref[bh, 0]
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale  # [T, T]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    p = jnp.exp(scores - jnp.maximum(lse, NEG_INF / 2))
+    p = jnp.where((col_ids < valid_len) & (lse > NEG_INF / 2), p, 0.0)
+
+    doc = do.astype(cd)
+    # dV = p^T dO
+    dv_ref[0] = jax.lax.dot_general(
+        p.astype(cd), doc, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # dp = dO v^T ; ds = p * (dp - delta) * scale  (computed ONCE here,
+    # where the split path computes it in both kernels)
+    dp = jax.lax.dot_general(
+        doc, v_ref[0].astype(cd), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p * (dp - delta) * sm_scale).astype(cd)
+    # dK = ds^T q ; dQ = ds k
+    dk_ref[0] = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
 def _flash_backward(
     qf, kf, vf, len_bh, out, lse, dof, *, block_q, block_k, sm_scale, interpret
 ):
@@ -312,6 +375,40 @@ def _flash_backward(
         kf = kf.astype(jnp.bfloat16)
         vf = vf.astype(jnp.bfloat16)
         dof = dof.astype(jnp.bfloat16)
+
+    if padded_len <= block_q and padded_len <= block_k:
+        # single tile in both axes -> the fused one-kernel backward
+        full_spec = pl.BlockSpec(
+            (1, padded_len, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        row_spec = pl.BlockSpec(
+            (1, padded_len, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        fused_kernel = functools.partial(
+            _bwd_fused_kernel, sm_scale=sm_scale, cast_bf16=not interpret
+        )
+        dq, dk, dv = pl.pallas_call(
+            fused_kernel,
+            grid=(bh,),
+            in_specs=[
+                full_spec, full_spec, full_spec, full_spec,
+                row_spec, row_spec,
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=(full_spec, full_spec, full_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((bh, padded_len, d), jnp.float32),
+                jax.ShapeDtypeStruct((bh, padded_len, d), jnp.float32),
+                jax.ShapeDtypeStruct((bh, padded_len, d), jnp.float32),
+            ),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=10 * bh * padded_len * padded_len * d,
+                bytes_accessed=7 * qf.size * 4,
+                transcendentals=bh * padded_len * padded_len,
+            ),
+        )(qf, kf, vf, dof, lse, delta, len_bh)
+        return dq, dk, dv
 
     q_spec_kq = pl.BlockSpec(
         (1, block_q, d), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM

@@ -290,6 +290,32 @@ class TestFlashAttention:
         for g, w in zip(got, want):
             np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-5)
 
+    def test_gradients_fused_single_block_matches_split_path(self):
+        """block >= T routes to the fused one-kernel backward; block < T
+        routes to the split dkv/dq kernels. Same math, same gradients."""
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_attention import (
+            flash_self_attention,
+        )
+
+        q, k, v = self._rand(T=64, seed=11)
+        lengths = jnp.asarray([40, 64], jnp.int32)
+
+        def loss(bq, bk):
+            def inner(q, k, v):
+                out = flash_self_attention(
+                    q, k, v, lengths, block_q=bq, block_k=bk, interpret=True
+                )
+                return jnp.sum(out**2)
+
+            return jax.grad(inner, argnums=(0, 1, 2))(q, k, v)
+
+        fused = loss(64, 64)   # padded_len <= both blocks -> fused kernel
+        split = loss(32, 32)   # multi-block -> split dkv/dq kernels
+        for g, w in zip(fused, split):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-6
+            )
+
     def test_gradients_zero_length_rows_are_zero_not_nan(self):
         from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_attention import (
             flash_self_attention,
