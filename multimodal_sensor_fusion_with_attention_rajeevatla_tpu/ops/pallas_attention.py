@@ -113,6 +113,52 @@ def _flash_kernel(
         lse_ref[0] = lse  # [block_q, 1]
 
 
+def _fwd_single_kblock_kernel(
+    q_ref,    # VMEM [1, block_q, d]
+    k_ref,    # VMEM [1, T, d]
+    v_ref,    # VMEM [1, T, d]
+    len_ref,  # VMEM [BH, 1] int32
+    o_ref,    # VMEM [1, block_q, d]
+    lse_ref,  # VMEM out [1, block_q, 1]
+    *,
+    sm_scale: float,
+    cast_bf16: bool,
+):
+    """Forward with the whole key axis in one tile (T <= block_k).
+
+    The online-softmax machinery of ``_flash_kernel`` (running max carry,
+    correction exp, accumulator rescale, scratch traffic) exists to merge
+    key blocks; with exactly one key block every correction is a
+    multiply-by-one. This specialization drops it: one max, one exp, one
+    normalize — same math, fewer VPU ops per score element at the shipping
+    PAMAP2 shapes (T=512 <= block 512)."""
+    bh = pl.program_id(0)
+    cd = jnp.bfloat16 if cast_bf16 else jnp.float32
+
+    q = q_ref[0].astype(cd)  # [block_q, d]
+    k = k_ref[0].astype(cd)  # [T, d]
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale  # [block_q, T]
+
+    valid_len = len_ref[bh, 0]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(col_ids < valid_len, scores, NEG_INF)
+
+    m = jnp.max(scores, axis=1, keepdims=True)  # [block_q, 1]
+    # fully-masked rows: m == NEG_INF; clamp the exp argument, zero p
+    p = jnp.exp(scores - jnp.maximum(m, NEG_INF / 2))
+    p = jnp.where(col_ids < valid_len, p, 0.0)
+    l = jnp.sum(p, axis=1, keepdims=True)
+
+    acc = jax.lax.dot_general(
+        p.astype(cd), v_ref[0].astype(cd), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = jnp.where(l > 0, acc / jnp.where(l > 0, l, 1.0), 0.0)
+    lse_ref[0] = jnp.where(l > 0, m + jnp.log(jnp.where(l > 0, l, 1.0)), NEG_INF)
+
+
 def _flash_forward(qf, kf, vf, len_bh, *, block_q, block_k, sm_scale, interpret):
     """Padded/flattened forward: ``[BH, T, d]`` -> (out, lse ``[BH, T]``)."""
     # float lengths cross the custom-VJP boundary (a well-typed zero
@@ -125,6 +171,48 @@ def _flash_forward(qf, kf, vf, len_bh, *, block_q, block_k, sm_scale, interpret)
         qf = qf.astype(jnp.bfloat16)
         kf = kf.astype(jnp.bfloat16)
         vf = vf.astype(jnp.bfloat16)
+
+    if padded_len <= block_k:
+        # one key block -> online-softmax-free specialization (no scratch)
+        kv_spec = pl.BlockSpec(
+            (1, padded_len, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        bq = min(block_q, padded_len)
+        out, lse = pl.pallas_call(
+            functools.partial(
+                _fwd_single_kblock_kernel,
+                sm_scale=sm_scale, cast_bf16=not interpret,
+            ),
+            grid=(bh, padded_len // bq),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+                ),
+                kv_spec,
+                kv_spec,
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, bq, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+                ),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((bh, padded_len, d), jnp.float32),
+                jax.ShapeDtypeStruct((bh, padded_len, 1), jnp.float32),
+            ),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=4 * bh * padded_len * padded_len * d,
+                bytes_accessed=3 * qf.size * 4 + qf.size * 4,
+                transcendentals=bh * padded_len * padded_len,
+            ),
+        )(qf, kf, vf, len_bh)
+        return out, lse
+
     kernel = functools.partial(
         _flash_kernel, block_q=block_q, block_k=block_k, sm_scale=sm_scale,
         cast_bf16=not interpret,
