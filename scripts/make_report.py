@@ -64,6 +64,7 @@ def main(argv=None):
     # default (the plain transformer flagship)
     history = []
     fallbacks = []
+    other_metrics = []
     if args.bench and Path(args.bench).exists():
         for line in Path(args.bench).read_text().splitlines():
             line = line.strip()
@@ -76,6 +77,12 @@ def main(argv=None):
                 # neither belongs in the on-chip throughput table
                 if parsed.get("value") is None or parsed.get("backend") == "cpu-fallback":
                     fallbacks.append(parsed)
+                    continue
+                # only the driver throughput metric belongs in the windows/s
+                # table (same filter as bench.py::_last_tpu_row); kernel A/B
+                # probes under other metrics get their own section below
+                if not str(parsed.get("metric", "")).startswith("PAMAP2 windows/sec"):
+                    other_metrics.append(parsed)
                     continue
                 history.append(parsed)
     latest = {}
@@ -192,6 +199,29 @@ def main(argv=None):
             "",
         ]
 
+    if other_metrics:
+        # kernel/serving A/B probes recorded under their own metric names
+        # (e.g. the head-only latency A/B) — latest row per metric, rendered
+        # with each row's own unit, never mixed into the windows/s table
+        latest_other = {}
+        for b in other_metrics:
+            latest_other[(b.get("metric"), b.get("model"), b.get("batch"))] = b
+        lines += [
+            "## Kernel / serving micro-benchmarks (on-chip)",
+            "",
+            "| metric | model | batch | value | unit | vs XLA |",
+            "|---|---|---|---|---|---|",
+        ]
+        for b in latest_other.values():
+            vs = b.get("speedup_vs_xla", b.get("vs_baseline"))
+            lines.append(
+                f"| {b.get('metric', '?')} | {b.get('model', '?')} | "
+                f"{b.get('batch', '—')} | {fmt(b.get('value'))} | "
+                f"{b.get('unit', '?')} | "
+                + (f"{vs:.2f}× |" if vs is not None else "— |")
+            )
+        lines.append("")
+
     if rows:
         lines += [
             "## Experiment matrix",
@@ -223,13 +253,20 @@ def main(argv=None):
     if len(flagship_accs) >= 2:
         import statistics
 
+        # seed labels come from the experiment names actually present, not a
+        # positional zip (a missing middle run would otherwise mislabel)
+        seed_of = {
+            "hybrid_transformer": "42",
+            "hybrid_transformer_s43": "43",
+            "hybrid_transformer_s44": "44",
+        }
         accs = list(flagship_accs.values())
         mean, std = statistics.mean(accs), statistics.stdev(accs)
         lines += [
             "## Headline accuracy (flagship hybrid transformer, full training length)",
             "",
             f"**{mean:.3f} ± {std:.3f}** test accuracy over {len(accs)} seeds "
-            f"({', '.join(f'{s}={fmt(a)}' for s, a in zip(('42', '43', '44'), accs))}).",
+            f"({', '.join(f'{seed_of[n]}={fmt(a)}' for n, a in flagship_accs.items())}).",
             "",
         ]
         if single_full:

@@ -103,3 +103,63 @@ def test_bench_fallback_rows_never_enter_throughput_table(tmp_path):
     assert "8.45" not in text
     # value=None must not crash the ":.0f" format nor appear as a number
     assert "None windows/s" not in text
+
+
+def test_non_throughput_metric_rows_never_enter_throughput_table(tmp_path):
+    """Kernel A/B probes (other metric names, e.g. latency in ms/batch) must
+    render in their own micro-bench section, never in the windows/s table —
+    the committed round-4 report had a bogus `| hybrid-head-only (?) | 0 |`
+    row from exactly this leak (round-4 advisor medium finding)."""
+    tpu_row = {
+        "metric": "PAMAP2 windows/sec/chip (preprocess+fwd)",
+        "value": 10000.0,
+        "unit": "windows/s",
+        "model": "hybrid-transformer-flash",
+        "chunk_size": 512,
+        "vs_baseline": 500.0,
+        "baseline_cpu_windows_per_sec": 20.0,
+        "p50_latency_ms_per_window": 0.5,
+        "batch": 64,
+    }
+    second_row = {**tpu_row, "chunk_size": 1024, "value": 7000.0}
+    latency_row = {
+        "metric": "hybrid head-only latency A/B",
+        "value": 0.057,
+        "unit": "ms/batch",
+        "model": "hybrid-head-only",
+        "vs_baseline": 1.13,
+        "batch": 64,
+    }
+    text = _run(tmp_path, bench_lines=[tpu_row, second_row, latency_row])
+    assert "hybrid-head-only (?)" not in text
+    # the A/B data still surfaces, in its own section with its own unit
+    assert "Kernel / serving micro-benchmarks" in text
+    assert "ms/batch" in text
+    assert "1.13×" in text
+
+
+def test_latency_row_never_becomes_lead_throughput(tmp_path):
+    """Even with NO throughput history, a latency-only probe must not become
+    the lead windows/s figure."""
+    latency_row = {
+        "metric": "hybrid head-only latency A/B",
+        "value": 0.057,
+        "unit": "ms/batch",
+        "model": "hybrid-head-only",
+        "vs_baseline": 1.13,
+        "batch": 64,
+    }
+    text = _run(tmp_path, bench_lines=[latency_row])
+    assert "windows/s** sustained" not in text
+    assert "Kernel / serving micro-benchmarks" in text
+
+
+def test_seed_labels_derive_from_experiment_names(tmp_path):
+    """With seed-43's run missing, seed 44's accuracy must be labelled 44 —
+    a positional zip would mislabel it as 43 (round-4 advisor low finding)."""
+    exp = tmp_path / "experiments"
+    _write_experiment(exp, "hybrid_transformer", 0.80)
+    _write_experiment(exp, "hybrid_transformer_s44", 0.86)
+    text = _run(tmp_path)
+    assert "44=0.860" in text
+    assert "43=0.860" not in text
