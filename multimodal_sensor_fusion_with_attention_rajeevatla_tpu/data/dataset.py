@@ -78,6 +78,11 @@ class WindowedSplit:
     labels: np.ndarray  # [N] int32
     lengths: np.ndarray  # [N] int32 (valid timesteps per window)
     modalities: List[str] = field(default_factory=list)
+    # per-window provenance: which manifest shard each window was cut from
+    # (shards are per (subject, activity) segments, so shard ids are the
+    # grouping unit for subject-aware calibration folds); None for splits
+    # with no shard structure (synthetic / legacy .npy)
+    shard_ids: Optional[np.ndarray] = None  # [N] int32 or None
 
     def __post_init__(self):
         if not self.modalities:
@@ -314,8 +319,10 @@ class MultimodalDataset:
                 else:
                     features[m][np.asarray(window_ids)] = gathered
 
+        shard_ids = np.asarray([c[0] for c in chunks], dtype=np.int32)
         return WindowedSplit(features=features, labels=labels, lengths=lengths,
-                             modalities=list(self.modalities))
+                             modalities=list(self.modalities),
+                             shard_ids=shard_ids)
 
     # -- legacy npy mode --------------------------------------------------
     def _load_numpy_split(self) -> WindowedSplit:
