@@ -709,12 +709,16 @@ def run_evaluation(
         val_data = device_put_split(val_w)
         val_logits = forward_all(model, variables, val_data, batch_size)
         ts = TemperatureScaling()
-        # ECE-guarded: considers {1, NLL-fit T, grid} and keeps whichever
-        # minimises val ECE — the raw NLL fit over-sharpens on the tiny
-        # surviving-subset val splits and can WORSEN calibration
+        # ECE-guarded: considers {1, NLL-fit T, grid} and accepts only a
+        # temperature whose val improvement is large and consistent across
+        # the val (subject, activity) shards — the raw NLL fit over-sharpens
+        # on the tiny surviving-subset val splits, and window-level folds
+        # accepted temperatures that regressed TEST ECE in 11/23 committed
+        # experiments (see scripts/calibration_study.py replay)
         ts.calibrate_guarded(
             val_logits, np.asarray(val_data.labels), num_bins,
             overlap_factor=val_overlap,
+            shard_ids=val_w.shard_ids,
         )
         scaled = np.asarray(ts(logits))
         scaled_probs = np.asarray(jax.nn.softmax(jnp.asarray(scaled), axis=-1))

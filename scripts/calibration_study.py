@@ -331,7 +331,7 @@ def guard_maximin(val_logits, val_labels, val_shards, overlap, num_bins=15,
             base_per[s] - _ece(val_logits, val_labels, t, num_bins_eff, val_shards == s)
             for s in shards
         ])
-        if (per > 0).sum() < need:
+        if (per > 0).sum() < need or per.min() < -0.005:
             continue
         key = (float(per.min()), overall)
         if key > best_key:

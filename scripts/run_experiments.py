@@ -176,6 +176,11 @@ def main():
     )
     parser.add_argument("--experiments_dir", type=str, default="experiments")
     parser.add_argument("--analysis_dir", type=str, default="analysis")
+    parser.add_argument(
+        "--eval_only", action="store_true",
+        help="skip training; re-evaluate each job's committed checkpoint "
+        "(runs/<experiment.name>/results.json -> best_model_path)",
+    )
     args = parser.parse_args()
 
     wanted = {g.strip() for g in args.groups.split(",")}
@@ -207,7 +212,17 @@ def main():
             else str(Path(args.analysis_dir) / name)
         )
         try:
-            results = train_main(overrides)
+            if args.eval_only:
+                run_name = next(
+                    o.split("=", 1)[1]
+                    for o in overrides
+                    if o.startswith("experiment.name=")
+                )
+                results = json.loads(
+                    (REPO_ROOT / "runs" / run_name / "results.json").read_text()
+                )
+            else:
+                results = train_main(overrides)
             ckpt = results["best_model_path"]
             eval_args = [
                 "--checkpoint", ckpt,

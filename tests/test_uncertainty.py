@@ -223,6 +223,86 @@ class TestTemperatureScaling:
         )
         assert t_pooled == pytest.approx(t_dedup)
 
+    def test_guarded_shard_consistent_win_accepted(self):
+        """Shard-aware guard: a temperature that improves every
+        (subject, activity) shard of the val split is accepted."""
+        rng = np.random.default_rng(17)
+        n_per, c, n_shards = 60, 5, 5
+        logits, labels, shards = [], [], []
+        for s in range(n_shards):
+            lab = rng.integers(0, c, n_per)
+            lg = rng.standard_normal((n_per, c)).astype(np.float32)
+            lg[np.arange(n_per), lab] += 1.5
+            logits.append(lg * 5.0)  # uniformly overconfident
+            labels.append(lab)
+            shards.append(np.full(n_per, s))
+        logits = np.concatenate(logits)
+        labels = np.concatenate(labels)
+        shards = np.concatenate(shards)
+        ts = TemperatureScaling()
+        t = ts.calibrate_guarded(
+            logits, labels, num_bins=15, shard_ids=shards
+        )
+        assert t > 1.0, t
+
+    def test_guarded_rejects_when_one_shard_hurt(self):
+        """Shard-aware guard: a temperature that helps overall val ECE but
+        materially hurts one shard is rejected (the round-4 failure mode —
+        temperatures that looked good on pooled val regressed test ECE in
+        11/23 committed experiments because per-shard miscalibration
+        differed)."""
+        rng = np.random.default_rng(19)
+        n_per, c = 80, 5
+        # 3 overconfident shards (cooling T>1 helps) ...
+        logits, labels, shards = [], [], []
+        for s in range(3):
+            lab = rng.integers(0, c, n_per)
+            lg = rng.standard_normal((n_per, c)).astype(np.float32)
+            lg[np.arange(n_per), lab] += 1.5
+            logits.append(lg * 5.0)
+            labels.append(lab)
+            shards.append(np.full(n_per, s))
+        # ... and 1 smaller, strongly UNDERconfident shard that any T>1
+        # damages (small enough that pooled val ECE still improves)
+        n_hurt = 40
+        lab = rng.integers(0, c, n_hurt)
+        lg = rng.standard_normal((n_hurt, c)).astype(np.float32)
+        lg[np.arange(n_hurt), lab] += 6.0
+        logits.append(lg * 0.35)
+        labels.append(lab)
+        shards.append(np.full(n_hurt, 3))
+        logits = np.concatenate(logits)
+        labels = np.concatenate(labels)
+        shards = np.concatenate(shards)
+
+        t_shard = TemperatureScaling().calibrate_guarded(
+            logits, labels, num_bins=15, shard_ids=shards
+        )
+        # the pooled fold guard DOES accept a cooling temperature here
+        t_fold = TemperatureScaling().calibrate_guarded(
+            logits, labels, num_bins=15
+        )
+        assert t_fold > 1.0, t_fold
+        assert t_shard == 1.0, t_shard
+
+    def test_guarded_few_shards_falls_back_to_folds(self):
+        """< 3 distinct shards: not enough provenance groups to judge
+        consistency — the guard behaves exactly like the fold variant."""
+        rng = np.random.default_rng(23)
+        n, c = 200, 5
+        labels = rng.integers(0, c, n)
+        logits = rng.standard_normal((n, c)).astype(np.float32)
+        logits[np.arange(n), labels] += 1.2
+        logits *= 4.0
+        shards = np.where(np.arange(n) < n // 2, 0, 1)  # only 2 shards
+        t_with = TemperatureScaling().calibrate_guarded(
+            logits, labels, num_bins=15, shard_ids=shards
+        )
+        t_without = TemperatureScaling().calibrate_guarded(
+            logits, labels, num_bins=15
+        )
+        assert t_with == pytest.approx(t_without)
+
     def test_guarded_identity_on_calibrated_logits(self):
         """Already-calibrated logits: guard keeps T == 1 (identity)."""
         rng = np.random.default_rng(4)
