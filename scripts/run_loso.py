@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Leave-one-subject-out cross-validation (round-5 verdict ask #4).
+
+The committed test split is 89 windows from 4 shards — per the seed-variance
+study that carries ~±6 pt of noise, so any single-split accuracy claim on
+this subset is fragile. LOSO over the 9 PAMAP2 subjects gives 9 disjoint
+cross-subject test sets whose mean±std is a defensible headline (the
+reference evaluated one split because it had 3.3x the data;
+``/root/reference/src/eval.py:39-130`` defines the metrics, this protocol
+strengthens the split design).
+
+Fold design — fully subject-separated: for sorted subjects ``s_0..s_8``,
+fold ``i`` tests on ``s_i``, validates on ``s_{i+1 mod 9}`` (early stopping
+and the shard-guarded temperature fit both see only held-out-subject data),
+and trains on the remaining 7 subjects.
+
+Each fold materialises ``data/pamap2_loso/fold_<subject>/`` with a
+``processed_tensors`` symlink into the real shard store and its own split
+manifests + chunk cache, then runs the standard train CLI + eval CLI.
+
+Usage:
+    python scripts/run_loso.py [--jobs flagship,single_imu_chest]
+                               [--folds subject_101,...] [--epochs 0]
+(--epochs 0 = base.yaml full length with early stopping)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import traceback
+from collections import defaultdict
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.cli import (  # noqa: E402
+    eval_main,
+    train_main,
+)
+
+DATA_DIR = REPO_ROOT / "data" / "pamap2"
+LOSO_ROOT = REPO_ROOT / "data" / "pamap2_loso"
+
+JOBS = {
+    "flagship": ["model.fusion_type=hybrid"],
+    "single_imu_chest": ["dataset.modalities=[imu_chest]"],
+}
+
+
+def all_shards():
+    """Union of the committed split manifests: [(relpath, rows, subject)]."""
+    shards = []
+    for split in ("train", "val", "test"):
+        for line in (DATA_DIR / "splits" / f"{split}.txt").read_text().splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            relpath, rows = line.rsplit(",", 1)
+            subject = relpath.split("/")[1]
+            shards.append((relpath, int(rows), subject))
+    return sorted(set(shards))
+
+
+def build_fold(subjects, test_subject):
+    """Materialise the fold directory; return its data_dir."""
+    i = subjects.index(test_subject)
+    val_subject = subjects[(i + 1) % len(subjects)]
+    fold_dir = LOSO_ROOT / f"fold_{test_subject}"
+    splits_dir = fold_dir / "splits"
+    splits_dir.mkdir(parents=True, exist_ok=True)
+    link = fold_dir / "processed_tensors"
+    if not link.exists():
+        link.symlink_to(DATA_DIR / "processed_tensors")
+    buckets = defaultdict(list)
+    for relpath, rows, subject in all_shards():
+        split = (
+            "test" if subject == test_subject
+            else "val" if subject == val_subject
+            else "train"
+        )
+        buckets[split].append(f"{relpath},{rows}")
+    for split in ("train", "val", "test"):
+        (splits_dir / f"{split}.txt").write_text(
+            "\n".join(buckets[split]) + "\n"
+        )
+    return fold_dir, val_subject
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--jobs", type=str, default="flagship")
+    parser.add_argument("--folds", type=str, default=None,
+                        help="comma list of test subjects (default: all 9)")
+    parser.add_argument("--epochs", type=int, default=0,
+                        help="0 = base.yaml full length + early stopping")
+    parser.add_argument("--experiments_dir", type=str,
+                        default="experiments/loso")
+    args = parser.parse_args()
+
+    subjects = sorted({s for _, _, s in all_shards()})
+    folds = (
+        [f.strip() for f in args.folds.split(",")]
+        if args.folds else subjects
+    )
+    jobs = [j.strip() for j in args.jobs.split(",")]
+
+    failures = []
+    for job in jobs:
+        for subject in folds:
+            fold_dir, val_subject = build_fold(subjects, subject)
+            name = f"loso_{job}_{subject}"
+            out_dir = Path(args.experiments_dir) / job / subject
+            print(f"\n=== LOSO {job} / test={subject} val={val_subject} ===",
+                  flush=True)
+            overrides = [
+                *JOBS[job],
+                f"dataset.data_dir={fold_dir}",
+                f"dataset.chunk_cache_dir={fold_dir / 'splits' / 'cache'}",
+                f"experiment.name={name}",
+            ]
+            if args.epochs:
+                overrides.append(f"training.max_epochs={args.epochs}")
+            try:
+                results = train_main(overrides)
+                eval_main([
+                    "--checkpoint", results["best_model_path"],
+                    "--output_dir", str(out_dir),
+                    "--analysis_dir", str(out_dir / "analysis"),
+                ])
+            except Exception as exc:
+                traceback.print_exc()
+                failures.append((job, subject, str(exc)))
+
+    # summary: per-fold table + mean±std per job + per-fold fusion margin
+    summary = {"folds": subjects, "jobs": {}, "failures": failures}
+    for job in jobs:
+        rows = {}
+        for subject in subjects:
+            f = Path(args.experiments_dir) / job / subject / "evaluation_results.json"
+            if f.exists():
+                ev = json.loads(f.read_text())
+                rows[subject] = {
+                    "test_accuracy": ev.get("test_accuracy"),
+                    "test_f1_macro": ev.get("test_f1_macro"),
+                    "ece": ev.get("ece"),
+                    "num_test_windows": ev.get("num_test_windows"),
+                }
+        accs = [r["test_accuracy"] for r in rows.values()
+                if r["test_accuracy"] is not None]
+        if accs:
+            import statistics
+
+            summary["jobs"][job] = {
+                "per_fold": rows,
+                "mean_accuracy": statistics.mean(accs),
+                "std_accuracy": statistics.stdev(accs) if len(accs) > 1 else 0.0,
+                "num_folds": len(accs),
+            }
+    both = [j for j in ("flagship", "single_imu_chest")
+            if j in summary["jobs"]]
+    if len(both) == 2:
+        fus = summary["jobs"]["flagship"]["per_fold"]
+        sng = summary["jobs"]["single_imu_chest"]["per_fold"]
+        margins = {
+            s: fus[s]["test_accuracy"] - sng[s]["test_accuracy"]
+            for s in fus
+            if s in sng
+            and fus[s]["test_accuracy"] is not None
+            and sng[s]["test_accuracy"] is not None
+        }
+        if margins:
+            import statistics
+
+            vals = list(margins.values())
+            summary["fusion_margin_per_fold"] = margins
+            summary["fusion_margin_mean"] = statistics.mean(vals)
+            summary["fusion_margin_std"] = (
+                statistics.stdev(vals) if len(vals) > 1 else 0.0
+            )
+    out = Path(args.experiments_dir) / "summary.json"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(summary, indent=2))
+    print(json.dumps({k: v for k, v in summary.items() if k != "jobs"},
+                     indent=2))
+    for job, info in summary["jobs"].items():
+        print(f"{job}: {info['mean_accuracy']:.3f} ± {info['std_accuracy']:.3f} "
+              f"over {info['num_folds']} folds")
+    if failures:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
