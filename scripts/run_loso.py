@@ -64,10 +64,30 @@ def all_shards():
     return sorted(set(shards))
 
 
+def subject_classes():
+    """Activity classes present per subject (from shard filenames)."""
+    classes = defaultdict(set)
+    for relpath, _, subject in all_shards():
+        classes[subject].add(relpath.rsplit("/", 1)[1]
+                             .replace("activity_", "").replace(".npz", ""))
+    return classes
+
+
 def build_fold(subjects, test_subject):
-    """Materialise the fold directory; return its data_dir."""
+    """Materialise the fold directory; return its data_dir.
+
+    The val subject is the next subject in rotation with >=2 activity
+    classes: early stopping and the shard-guarded temperature fit are
+    meaningless against a single-class subject (PAMAP2 subject 109
+    performed only rope jumping, class 24).
+    """
+    classes = subject_classes()
     i = subjects.index(test_subject)
-    val_subject = subjects[(i + 1) % len(subjects)]
+    val_subject = next(
+        s for s in (subjects[(i + k) % len(subjects)]
+                    for k in range(1, len(subjects)))
+        if s != test_subject and len(classes[s]) >= 2
+    )
     fold_dir = LOSO_ROOT / f"fold_{test_subject}"
     splits_dir = fold_dir / "splits"
     splits_dir.mkdir(parents=True, exist_ok=True)
@@ -150,6 +170,9 @@ def main():
                 }
         accs = [r["test_accuracy"] for r in rows.values()
                 if r["test_accuracy"] is not None]
+        classes = subject_classes()
+        multi = [r["test_accuracy"] for s, r in rows.items()
+                 if r["test_accuracy"] is not None and len(classes[s]) >= 2]
         if accs:
             import statistics
 
@@ -158,6 +181,16 @@ def main():
                 "mean_accuracy": statistics.mean(accs),
                 "std_accuracy": statistics.stdev(accs) if len(accs) > 1 else 0.0,
                 "num_folds": len(accs),
+                # Folds whose held-out subject has >=2 activity classes;
+                # subject_109 is single-class (rope jumping only) so its
+                # fold measures class-prior recall, not fusion quality.
+                "mean_accuracy_multiclass_folds": (
+                    statistics.mean(multi) if multi else None
+                ),
+                "std_accuracy_multiclass_folds": (
+                    statistics.stdev(multi) if len(multi) > 1 else 0.0
+                ),
+                "num_multiclass_folds": len(multi),
             }
     both = [j for j in ("flagship", "single_imu_chest")
             if j in summary["jobs"]]
@@ -180,6 +213,12 @@ def main():
             summary["fusion_margin_std"] = (
                 statistics.stdev(vals) if len(vals) > 1 else 0.0
             )
+            classes = subject_classes()
+            mvals = [v for s, v in margins.items() if len(classes[s]) >= 2]
+            if mvals:
+                summary["fusion_margin_mean_multiclass_folds"] = (
+                    statistics.mean(mvals)
+                )
     out = Path(args.experiments_dir) / "summary.json"
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps(summary, indent=2))
