@@ -109,6 +109,12 @@ def build_model(pallas=None):
                 "dropout": float(os.environ.get("BENCH_DROPOUT", "0.1")),
                 "layer_norm": True,
                 "grouped_encoders": os.environ.get("BENCH_GROUPED", "1") == "1",
+                # BENCH_GROUPED_TRANSFORMER=1: encode the same-signature
+                # transformer modalities as ONE leading-group-axis pass
+                # (models/grouped.py::GroupedTransformerEncoder A/B)
+                "grouped_transformer": (
+                    os.environ.get("BENCH_GROUPED_TRANSFORMER", "0") == "1"
+                ),
                 "pallas_rnn": (
                     os.environ.get("BENCH_PALLAS_RNN", "1") == "1"
                     if pallas is None
@@ -488,7 +494,22 @@ def inner_main():
         # the shipping default (BENCH_DROPOUT_RNG=kernel is the TPU default
         # via training.dropout_rng: auto, so it carries no suffix)
         + ("-rbg" if os.environ.get("BENCH_PRNG", "") == "rbg" else "")
-        + ("-fullaug" if os.environ.get("BENCH_AUG", "") == "full" else ""),
+        + ("-fullaug" if os.environ.get("BENCH_AUG", "") == "full" else "")
+        + (
+            "-gtf"
+            if os.environ.get("BENCH_GROUPED_TRANSFORMER", "0") == "1"
+            else ""
+        )
+        + (
+            f"-skmax{os.environ['MSFA_FLASH_SINGLE_K_MAX']}"
+            if os.environ.get("MSFA_FLASH_SINGLE_K_MAX")
+            else ""
+        )
+        + (
+            f"-fbwd{os.environ['MSFA_FLASH_FUSED_BWD_MAX']}"
+            if os.environ.get("MSFA_FLASH_FUSED_BWD_MAX")
+            else ""
+        ),
         "chunk_size": CHUNK,
         "vs_baseline": round(tpu["windows_per_sec"] / baseline_wps, 2),
         "p50_latency_ms_per_window": round(tpu["p50_latency_ms_per_window"], 4),

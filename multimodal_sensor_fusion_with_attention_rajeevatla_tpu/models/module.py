@@ -21,7 +21,13 @@ from flax import linen as nn
 
 from .encoders import FrameEncoder, SequenceEncoder, SimpleMLPEncoder, build_encoder
 from .fusion import build_fusion_model
-from .grouped import GroupedRNNEncoder, groupable_modalities, stack_group_features
+from .grouped import (
+    GroupedRNNEncoder,
+    GroupedTransformerEncoder,
+    groupable_modalities,
+    groupable_transformer_modalities,
+    stack_group_features,
+)
 from ..ops.masked import lengths_to_mask
 
 
@@ -72,6 +78,13 @@ class MultimodalFusionModel(nn.Module):
     dropout: float = 0.1
     layer_norm: bool = True
     grouped_encoders: bool = True
+    # Opt-in: encode same-signature per-modality TRANSFORMER stacks as one
+    # leading-group-axis pass (grouped.GroupedTransformerEncoder) — every
+    # dense layer becomes one G-batched MXU matmul and the group shares one
+    # flash-attention launch. Off by default: it changes the checkpoint
+    # param tree for transformer models (committed flagship checkpoints
+    # store per-modality encoder params).
+    grouped_transformer: bool = False
     pallas_rnn: bool = False  # Pallas recurrence kernels (fwd + custom-VJP bwd)
     # End-to-end bf16 computation: encoder/attention/fusion matmuls run in
     # bf16 (params stored f32, softmax/LayerNorm statistics and the final
@@ -110,7 +123,25 @@ class MultimodalFusionModel(nn.Module):
                     mixed_precision=self.mixed_precision,
                     name="grouped_rnn",
                 )
-        grouped = set(self._grouped_names)
+        self._grouped_tf_names = []
+        if self.grouped_encoders and self.grouped_transformer:
+            tf_names, tf_shared = groupable_transformer_modalities(
+                self.modalities, configs
+            )
+            if tf_names:
+                self._grouped_tf_names = tf_names
+                self.grouped_tf_encoder = GroupedTransformerEncoder(
+                    num_groups=len(tf_names),
+                    hidden_dim=int(tf_shared.get("hidden_dim") or self.hidden_dim),
+                    output_dim=self.output_dim,
+                    num_layers=int(tf_shared.get("num_layers") or 2),
+                    dropout=self.dropout,
+                    use_flash=bool(tf_shared.get("flash_attention", False)),
+                    dropout_rng=str(tf_shared.get("dropout_rng") or "auto"),
+                    dtype=self.compute_dtype,
+                    name="grouped_transformer_enc",
+                )
+        grouped = set(self._grouped_names) | set(self._grouped_tf_names)
         self.encoders = {
             name: build_encoder(
                 modality=name,
@@ -168,46 +199,51 @@ class MultimodalFusionModel(nn.Module):
             if name in features and features[name].ndim == 3:
                 ref_len = int(features[name].shape[1])
                 break
-        grouped_present = [n for n in self._grouped_names if n in features]
-        if grouped_present and len(grouped_present) == len(self._grouped_names):
-            stacked = stack_group_features(features, grouped_present)
+        group_specs = []
+        if self._grouped_names:
+            group_specs.append((self._grouped_names, self.grouped_encoder))
+        if self._grouped_tf_names:
+            group_specs.append((self._grouped_tf_names, self.grouped_tf_encoder))
+        for gnames, gencoder in group_specs:
+            grouped_present = [n for n in gnames if n in features]
+            if not grouped_present:
+                continue
+            if len(grouped_present) == len(gnames):
+                stacked = stack_group_features(features, grouped_present)
+                names_out = grouped_present
+            else:
+                # partial availability: fall back to a stacked call with the
+                # missing members zero-filled at their OWN feature width
+                # (their outputs are discarded; zero-filling with the
+                # template's width would change the group's d_max and break
+                # the packed weights)
+                template = features[grouped_present[0]]
+                full = {
+                    n: features.get(
+                        n,
+                        jnp.zeros(
+                            template.shape[:2] + (self._grouped_dims[n],),
+                            template.dtype,
+                        ),
+                    )
+                    for n in gnames
+                }
+                stacked = stack_group_features(full, gnames)
+                names_out = gnames
             # grouped members share one time axis; rescale lengths from the
             # reference timebase like every per-modality encoder call does
             grp_lengths = self._scale_lengths(lengths, ref_len, int(stacked.shape[2]))
-            group_out = self.grouped_encoder(stacked, lengths=grp_lengths, train=train)
-            for i, name in enumerate(grouped_present):
-                emb = group_out[i]
-                if self.layer_norm:
-                    emb = self.layer_norms[name](emb)
-                encoded[name] = emb
-        elif grouped_present:
-            # partial availability: fall back to a stacked call with the
-            # missing members zero-filled at their OWN feature width (their
-            # outputs are discarded; zero-filling with the template's width
-            # would change the group's d_max and break the packed weights)
-            template = features[grouped_present[0]]
-            full = {
-                n: features.get(
-                    n,
-                    jnp.zeros(
-                        template.shape[:2] + (self._grouped_dims[n],),
-                        template.dtype,
-                    ),
-                )
-                for n in self._grouped_names
-            }
-            stacked = stack_group_features(full, self._grouped_names)
-            grp_lengths = self._scale_lengths(lengths, ref_len, int(stacked.shape[2]))
-            group_out = self.grouped_encoder(stacked, lengths=grp_lengths, train=train)
-            for i, name in enumerate(self._grouped_names):
+            group_out = gencoder(stacked, lengths=grp_lengths, train=train)
+            for i, name in enumerate(names_out):
                 if name not in features:
                     continue
                 emb = group_out[i]
                 if self.layer_norm:
                     emb = self.layer_norms[name](emb)
                 encoded[name] = emb
+        grouped_all = set(self._grouped_names) | set(self._grouped_tf_names)
         for name in self.modalities:
-            if name not in features or name in self._grouped_names:
+            if name not in features or name in grouped_all:
                 continue
             encoder = self.encoders[name]
             x = features[name]
@@ -361,6 +397,7 @@ class MultimodalFusionModel(nn.Module):
             # construction path, or checkpoints fail to restore
             layer_norm=bool(model_cfg.get("layer_norm", True)),
             grouped_encoders=bool(model_cfg.get("grouped_encoders", True)),
+            grouped_transformer=bool(model_cfg.get("grouped_transformer", False)),
             pallas_rnn=bool(pallas_rnn),
             mixed_precision=bool(config.get("mixed_precision", False)),
         )

@@ -43,6 +43,35 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _env_int(name: str, default: int) -> int:
+    import os
+
+    try:
+        return int(os.environ.get(name, default))
+    except ValueError:
+        return default
+
+
+# Shape-routing thresholds for the single-block specializations (the
+# online-softmax-free forward and the fused one-kernel backward). The
+# single-tile kernels generalize beyond T=512 — a [block_q, T] score tile
+# still fits VMEM comfortably at T=1024/2048 — but per the kernel rule
+# (CLAUDE.md: only the chip tells the truth) each extension ships only
+# after an on-chip A/B. Env knobs let bench.py sweep them without code
+# flips:
+#   MSFA_FLASH_SINGLE_K_MAX  — engage the single-kblock forward while
+#                              padded_len <= this (whole key axis one tile)
+#   MSFA_FLASH_SINGLE_K_BQ   — query-block rows for that kernel
+#   MSFA_FLASH_FUSED_BWD_MAX — engage the fused backward while
+#                              padded_len <= this ([T, T] tiles in VMEM)
+def _single_k_max() -> int:
+    return _env_int("MSFA_FLASH_SINGLE_K_MAX", 512)
+
+
+def _fused_bwd_max() -> int:
+    return _env_int("MSFA_FLASH_FUSED_BWD_MAX", 512)
+
+
 def _flash_kernel(
     q_ref,    # VMEM [1, block_q, d]
     k_ref,    # VMEM [1, block_k, d]
@@ -172,12 +201,14 @@ def _flash_forward(qf, kf, vf, len_bh, *, block_q, block_k, sm_scale, interpret)
         kf = kf.astype(jnp.bfloat16)
         vf = vf.astype(jnp.bfloat16)
 
-    if padded_len <= block_k:
+    if padded_len <= max(block_k, _single_k_max()):
         # one key block -> online-softmax-free specialization (no scratch)
         kv_spec = pl.BlockSpec(
             (1, padded_len, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
         )
-        bq = min(block_q, padded_len)
+        bq = min(block_q, padded_len, _env_int("MSFA_FLASH_SINGLE_K_BQ", 512))
+        while padded_len % bq:
+            bq //= 2
         out, lse = pl.pallas_call(
             functools.partial(
                 _fwd_single_kblock_kernel,
@@ -464,7 +495,7 @@ def _flash_backward(
         vf = vf.astype(jnp.bfloat16)
         dof = dof.astype(jnp.bfloat16)
 
-    if padded_len <= block_q and padded_len <= block_k:
+    if padded_len <= max(min(block_q, block_k), _fused_bwd_max()):
         # single tile in both axes -> the fused one-kernel backward
         full_spec = pl.BlockSpec(
             (1, padded_len, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM

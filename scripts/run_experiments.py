@@ -133,6 +133,26 @@ def matrix(epochs: int):
                 ],
             )
         )
+    # chunk-1024 operating point at the FLAGSHIP protocol (full length +
+    # early stopping), seed-swept: the 10-epoch chunk ablation row beat the
+    # shipping 512 on accuracy/NLL/ECE, so the candidate flip needs its own
+    # seed-robust number before the tradeoff can be stated (round-5 verdict
+    # ask #8)
+    for seed in (42, 43, 44):
+        suffix = "" if seed == 42 else f"_s{seed}"
+        jobs.append(
+            (
+                "chunk1024-seeds",
+                f"chunk1024_full{suffix}",
+                [
+                    "model.fusion_type=hybrid",
+                    "dataset.chunk_size=1024",
+                    "dataset.window_stride=256",
+                    f"seed={seed}",
+                    f"experiment.name=chunk1024_full{suffix}",
+                ],
+            )
+        )
     # full-length single-modality runs: fusion-vs-best-single must be
     # like-for-like at the operating point (reference report.typ:164 claims
     # +25-30% for fusion over the best single stream at full training length)
@@ -192,6 +212,7 @@ def main():
         "encoder-ablation": "encoders",
         "flagship": "flagship",
         "flagship-seeds": "flagship-seeds",
+        "chunk1024-seeds": "chunk1024-seeds",
         "single-full": "single-full",
         "lstm-full": "lstm-full",
     }

@@ -313,3 +313,222 @@ def test_module_grouped_lengths_rescaled_from_ref_timebase(tiny_model_cfg):
             np.asarray(enc_full[m][0]), np.asarray(enc_trunc[m][0]),
             rtol=1e-5, atol=1e-6,
         )
+
+
+# ---------------------------------------------------------------------------
+# grouped TRANSFORMER encoding (models/grouped.py::GroupedTransformerEncoder)
+# ---------------------------------------------------------------------------
+
+from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.models.grouped import (  # noqa: E402
+    GroupedTransformerEncoder,
+    groupable_transformer_modalities,
+)
+
+
+class TestGroupableTransformer:
+    CFGS = {
+        "imu_hand": {"type": "sequence", "encoder_type": "transformer",
+                     "num_layers": 2, "flash_attention": False},
+        "imu_chest": {"type": "sequence", "encoder_type": "transformer",
+                      "num_layers": 2, "flash_attention": False},
+        "imu_ankle": {"type": "sequence", "encoder_type": "transformer",
+                      "num_layers": 2, "flash_attention": False},
+        "heart_rate": {"type": "sequence", "encoder_type": "lstm",
+                       "num_layers": 1},
+        "video": {"type": "frame"},
+    }
+
+    def test_groups_compatible_transformers(self):
+        names, shared = groupable_transformer_modalities(
+            ["imu_hand", "imu_chest", "imu_ankle", "heart_rate", "video"],
+            self.CFGS,
+        )
+        assert names == ["imu_hand", "imu_chest", "imu_ankle"]
+        assert shared["num_layers"] == 2
+
+    def test_layer_count_mismatch_not_grouped(self):
+        cfgs = {
+            "a": {"type": "sequence", "encoder_type": "transformer",
+                  "num_layers": 1},
+            "b": {"type": "sequence", "encoder_type": "transformer",
+                  "num_layers": 2},
+        }
+        names, _ = groupable_transformer_modalities(["a", "b"], cfgs)
+        assert names == []
+
+    def test_moe_pipeline_seqpar_block_grouping(self):
+        for key, val in (("moe_experts", 2), ("pipeline_parallel", 2),
+                         ("sequence_parallel", True)):
+            cfgs = {
+                n: {"type": "sequence", "encoder_type": "transformer",
+                    "num_layers": 1, key: val}
+                for n in ("a", "b")
+            }
+            names, _ = groupable_transformer_modalities(["a", "b"], cfgs)
+            assert names == [], key
+
+
+def _port_transformer_params(v, num_layers):
+    """Flatten one SequenceEncoder(transformer) param tree into the grouped
+    per-member slices."""
+    p = v["params"]
+    out = {
+        "input_projection": {
+            "kernel": p["input_projection"]["kernel"],
+            "bias": p["input_projection"]["bias"],
+        },
+        "proj_kernel": p["projection"]["kernel"],
+        "proj_bias": p["projection"]["bias"],
+    }
+    for layer in range(num_layers):
+        lp = p[f"layer{layer}"]
+        for src, dst in (
+            ("q_proj", f"q_proj_l{layer}"),
+            ("k_proj", f"k_proj_l{layer}"),
+            ("v_proj", f"v_proj_l{layer}"),
+            ("out_proj", f"out_proj_l{layer}"),
+            ("linear1", f"linear1_l{layer}"),
+            ("linear2", f"linear2_l{layer}"),
+        ):
+            out[dst] = {"kernel": lp[src]["kernel"], "bias": lp[src]["bias"]}
+        for src, dst in (("norm1", f"norm1_l{layer}"), ("norm2", f"norm2_l{layer}")):
+            out[dst] = {"scale": lp[src]["scale"], "bias": lp[src]["bias"]}
+    return out
+
+
+def test_grouped_transformer_matches_individual_encoders():
+    """Grouped transformer with weights copied from two independent
+    SequenceEncoder(transformer) members reproduces their outputs exactly
+    (XLA attention path, no dropout), including masked-length pooling and
+    inert zero feature padding."""
+    hidden, out, layers = 16, 8, 2
+    rng = jax.random.PRNGKey(0)
+    x_a = jnp.asarray(
+        np.random.default_rng(0).standard_normal((B, T, 6)), jnp.float32
+    )
+    x_b = jnp.asarray(
+        np.random.default_rng(1).standard_normal((B, T, 4)), jnp.float32
+    )
+    lengths = jnp.array([T, 5, 9])
+
+    enc_a = SequenceEncoder(
+        hidden_dim=hidden, output_dim=out, num_layers=layers,
+        encoder_type="transformer", dropout=0.0,
+    )
+    enc_b = SequenceEncoder(
+        hidden_dim=hidden, output_dim=out, num_layers=layers,
+        encoder_type="transformer", dropout=0.0,
+    )
+    va = enc_a.init(rng, x_a)
+    vb = enc_b.init(jax.random.PRNGKey(1), x_b)
+
+    grouped = GroupedTransformerEncoder(
+        num_groups=2, hidden_dim=hidden, output_dim=out, num_layers=layers,
+        dropout=0.0,
+    )
+    stacked = stack_group_features({"a": x_a, "b": x_b}, ["a", "b"])
+    assert stacked.shape == (2, B, T, 6)
+
+    pa = _port_transformer_params(va, layers)
+    pb = _port_transformer_params(vb, layers)
+
+    def stack_tree(a, b, pad_axis0_to=None):
+        return jax.tree.map(
+            lambda x, y: jnp.stack(
+                [
+                    x,
+                    # member b's input kernel is narrower (D=4 vs 6): pad its
+                    # leading (feature) axis with zeros — the padded input
+                    # columns are zeros, so the rows are never read
+                    jnp.pad(y, [(0, x.shape[i] - y.shape[i]) for i in range(y.ndim)]),
+                ]
+            ),
+            a,
+            b,
+        )
+
+    gparams = stack_tree(pa, pb)
+    out_grouped = grouped.apply({"params": gparams}, stacked, lengths)
+    out_a = enc_a.apply(va, x_a, lengths)
+    out_b = enc_b.apply(vb, x_b, lengths)
+    np.testing.assert_allclose(
+        np.asarray(out_grouped[0]), np.asarray(out_a), rtol=2e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_grouped[1]), np.asarray(out_b), rtol=2e-5, atol=1e-6
+    )
+
+
+def test_grouped_transformer_module_end_to_end():
+    """model.grouped_transformer=true routes same-signature transformer
+    modalities through ONE grouped encoder: forward, gradient flow, and
+    partial-availability (missing member) all work."""
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.models.module import (
+        MultimodalFusionModel,
+    )
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.utils.config import (
+        ConfigNode,
+    )
+
+    cfg = ConfigNode({
+        "dataset": {"modalities": ["m1", "m2", "m3"], "num_classes": 4},
+        "model": {
+            "fusion_type": "hybrid",
+            "hidden_dim": 16,
+            "output_dim": 8,
+            "num_heads": 2,
+            "dropout": 0.1,
+            "grouped_transformer": True,
+            "flash_attention": False,
+            "fused_mlp": False,
+            "fused_mlp_ln": False,
+            "encoders": {
+                "m1": {"type": "sequence", "encoder_type": "transformer",
+                       "num_layers": 1, "input_dim": 6},
+                "m2": {"type": "sequence", "encoder_type": "transformer",
+                       "num_layers": 1, "input_dim": 6},
+                "m3": {"type": "sequence", "encoder_type": "transformer",
+                       "num_layers": 1, "input_dim": 6},
+            },
+        },
+    })
+    model = MultimodalFusionModel.from_config(cfg)
+    rng = jax.random.PRNGKey(0)
+    feats = {
+        m: jax.random.normal(jax.random.fold_in(rng, i), (B, T, 6))
+        for i, m in enumerate(["m1", "m2", "m3"])
+    }
+    variables = model.init({"params": rng, "dropout": rng}, feats)
+    # ONE grouped encoder owns the transformer params
+    assert "grouped_transformer_enc" in variables["params"]
+    assert not any(k.startswith("encoder_") for k in variables["params"])
+
+    logits = model.apply(variables, feats)
+    assert logits.shape == (B, 4)
+
+    # gradient flows through every grouped member's weights
+    def loss(params):
+        lg = model.apply(
+            {"params": params}, feats, train=True,
+            rngs={"dropout": jax.random.PRNGKey(2)},
+        )
+        return jnp.sum(lg**2)
+
+    grads = jax.grad(loss)(variables["params"])
+    gnorm = jnp.linalg.norm(
+        grads["grouped_transformer_enc"]["input_projection"]["kernel"],
+        axis=(1, 2),
+    )
+    assert bool(jnp.all(gnorm > 0)), "every group member must receive grads"
+
+    # partial availability: one member missing still encodes the others
+    enc = model.apply(
+        variables, {"m1": feats["m1"], "m3": feats["m3"]},
+        method=MultimodalFusionModel.encode,
+    )
+    assert set(enc) == {"m1", "m3"}
+    # present members' embeddings are unchanged by the absent one
+    enc_full = model.apply(variables, feats, method=MultimodalFusionModel.encode)
+    np.testing.assert_allclose(
+        np.asarray(enc["m1"]), np.asarray(enc_full["m1"]), rtol=1e-5, atol=1e-6
+    )

@@ -693,3 +693,49 @@ class TestGroupedGRUKernel:
         want = scan_model.apply(variables, feats, None, lengths, train=False)
         got = pallas_model.apply(variables, feats, None, lengths, train=False)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+class TestFlashRoutingEnvKnobs:
+    """The single-block specializations extend past T=512 via env knobs
+    (MSFA_FLASH_SINGLE_K_MAX / MSFA_FLASH_FUSED_BWD_MAX); numerics must be
+    identical to the default multi-block routing at the same shapes."""
+
+    def _rand(self, B=2, H=2, T=96, d=16, seed=3):
+        rng = np.random.default_rng(seed)
+        mk = lambda: jnp.asarray(rng.standard_normal((B, H, T, d)), jnp.float32)  # noqa: E731
+        return mk(), mk(), mk()
+
+    def test_extended_single_kblock_forward_and_fused_backward(self, monkeypatch):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_attention import (
+            flash_self_attention,
+        )
+
+        q, k, v = self._rand()
+        lengths = jnp.asarray([70, 96], jnp.int32)
+
+        def grads():
+            def inner(q, k, v):
+                # block 32 < T=96: default routing = multi-block online
+                # softmax fwd + split dkv/dq bwd
+                out = flash_self_attention(
+                    q, k, v, lengths, block_q=32, block_k=32, interpret=True
+                )
+                return jnp.sum(out**2), out
+
+            (_, out), g = jax.value_and_grad(inner, argnums=(0, 1, 2), has_aux=True)(
+                q, k, v
+            )
+            return out, g
+
+        out_multi, g_multi = grads()
+        monkeypatch.setenv("MSFA_FLASH_SINGLE_K_MAX", "4096")
+        monkeypatch.setenv("MSFA_FLASH_FUSED_BWD_MAX", "4096")
+        monkeypatch.setenv("MSFA_FLASH_SINGLE_K_BQ", "32")
+        out_single, g_single = grads()
+        np.testing.assert_allclose(
+            np.asarray(out_multi), np.asarray(out_single), rtol=1e-5, atol=1e-6
+        )
+        for gm, gs in zip(g_multi, g_single):
+            np.testing.assert_allclose(
+                np.asarray(gm), np.asarray(gs), rtol=1e-5, atol=1e-6
+            )
