@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""On-chip numerics probe for the EXTENDED single-block flash routings.
+
+The single-kblock forward and fused backward were validated on the real
+chip at T=512 (round 4). Raising MSFA_FLASH_SINGLE_K_MAX /
+MSFA_FLASH_FUSED_BWD_MAX routes T=1024/2048 through the same kernels with
+bigger tiles — per the kernel rule (CLAUDE.md) the real-TPU behavior
+(tiling, VMEM fit, numerics) must be validated on the chip before any A/B
+row is trusted. Compares out + grads against the XLA masked-softmax path
+at each (T, routing) and prints one JSON line per case.
+
+Usage:  python scripts/onchip_flash_probe.py   (default backend = the TPU)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def xla_attention(q, k, v, lengths):
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.masked import (
+        masked_softmax,
+    )
+
+    d = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * d**-0.5
+    T = q.shape[2]
+    mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)
+    w = masked_softmax(scores, mask[:, None, None, :])
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+
+def probe(T: int, single_k: int, fused_bwd: int, B=4, H=4, d=64, seed=0):
+    os.environ["MSFA_FLASH_SINGLE_K_MAX"] = str(single_k)
+    os.environ["MSFA_FLASH_FUSED_BWD_MAX"] = str(fused_bwd)
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_attention import (
+        flash_self_attention,
+    )
+
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(  # noqa: E731
+        rng.standard_normal((B, H, T, d)) * 0.5, jnp.float32
+    )
+    q, k, v = mk(), mk(), mk()
+    lengths = jnp.asarray([T, T, 3 * T // 4, T // 2], jnp.int32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_self_attention(q, k, v, lengths) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, lengths) ** 2)
+
+    out_f = jax.jit(lambda q, k, v: flash_self_attention(q, k, v, lengths))(
+        q, k, v
+    )
+    out_x = jax.jit(lambda q, k, v: xla_attention(q, k, v, lengths))(q, k, v)
+    g_f = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
+    g_x = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2)))(q, k, v)
+
+    def rel(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        denom = np.maximum(np.abs(b).max(), 1e-6)
+        return float(np.abs(a - b).max() / denom)
+
+    # determinism: same inputs twice -> bit-identical
+    out_f2 = jax.jit(lambda q, k, v: flash_self_attention(q, k, v, lengths))(
+        q, k, v
+    )
+    res = {
+        "T": T,
+        "single_k_max": single_k,
+        "fused_bwd_max": fused_bwd,
+        "fwd_rel": rel(out_f, out_x),
+        "grad_rel": max(rel(a, b) for a, b in zip(g_f, g_x)),
+        "deterministic": bool(jnp.array_equal(out_f, out_f2)),
+        "finite": bool(
+            jnp.isfinite(out_f).all()
+            and all(jnp.isfinite(g).all() for g in g_f)
+        ),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(res), flush=True)
+    return res
+
+
+def main():
+    cases = [
+        # default routing (multi-block) as the control
+        (1024, 512, 512),
+        # extended single-kblock fwd + fused bwd at T=1024
+        (1024, 1024, 1024),
+        # extended fwd only at T=1024 (fused bwd may not fit VMEM)
+        (1024, 1024, 512),
+        (2048, 512, 512),
+        (2048, 2048, 512),
+    ]
+    ok = True
+    for T, sk, fb in cases:
+        try:
+            r = probe(T, sk, fb)
+            # bf16 dot inputs: ~3e-3 band measured at T=512 round-4; allow 2e-2
+            if r["fwd_rel"] > 2e-2 or r["grad_rel"] > 5e-2 or not r["finite"]:
+                ok = False
+        except Exception as exc:  # noqa: BLE001 — Mosaic VMEM errors expected
+            print(
+                json.dumps(
+                    {"T": T, "single_k_max": sk, "fused_bwd_max": fb,
+                     "error": str(exc)[:300]}
+                ),
+                flush=True,
+            )
+            ok = False
+    print(json.dumps({"probe_ok": ok}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
