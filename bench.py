@@ -500,6 +500,7 @@ def inner_main():
             if os.environ.get("BENCH_GROUPED_TRANSFORMER", "0") == "1"
             else ""
         )
+        + ("-nofmlp" if os.environ.get("BENCH_FUSED_MLP", "") == "0" else "")
         + (
             f"-skmax{os.environ['MSFA_FLASH_SINGLE_K_MAX']}"
             if os.environ.get("MSFA_FLASH_SINGLE_K_MAX")

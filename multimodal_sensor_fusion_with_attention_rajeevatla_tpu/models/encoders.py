@@ -519,10 +519,16 @@ class _TransformerEncoderLayer(nn.Module):
                     keep_prob,
                     (batch, seq_len, self.hidden_dim),
                 )
-        if self.use_fused_mlp and self.use_fused_mlp_ln:
+        if self.use_fused_mlp and self.use_fused_mlp_ln and train:
             # whole second half of the layer in ONE kernel: FFW + residual
             # dropout + add + LayerNorm (ops/pallas_mlp.py). Neither the
-            # hidden activation nor the FFW output reach HBM.
+            # hidden activation nor the FFW output reach HBM. TRAIN-only,
+            # like the first-half kernel above: in the pipelined eval
+            # regime XLA's own fusion of the FFW chain measured FASTER on
+            # chip (round-5 paired A/B: all fused-FFW kernels off = fwd
+            # 13,723 vs 13,281 w/s with them on, while train drops 2,653
+            # -> 2,099 without them) — so eval takes the XLA path and
+            # training keeps the kernels (outputs parity-tested identical).
             cd = self.dtype or jnp.float32
             out2d = fused_mlp_residual_ln(
                 x_ffw.reshape(batch * seq_len, self.hidden_dim).astype(cd),
@@ -550,7 +556,10 @@ class _TransformerEncoderLayer(nn.Module):
             p2,
             keep_mask=keep_mask,
             keep_prob=keep_prob,
-            use_fused=self.use_fused_mlp,
+            # train-only for the same measured reason as the combined
+            # kernel above: eval-mode XLA fusion of the FFW beats the
+            # Pallas kernel on chip
+            use_fused=self.use_fused_mlp and train,
             dtype=self.dtype,
             interpret=interpret,
         )

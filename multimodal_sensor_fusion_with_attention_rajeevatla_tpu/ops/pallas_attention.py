@@ -55,21 +55,28 @@ def _env_int(name: str, default: int) -> int:
 # Shape-routing thresholds for the single-block specializations (the
 # online-softmax-free forward and the fused one-kernel backward). The
 # single-tile kernels generalize beyond T=512 — a [block_q, T] score tile
-# still fits VMEM comfortably at T=1024/2048 — but per the kernel rule
-# (CLAUDE.md: only the chip tells the truth) each extension ships only
-# after an on-chip A/B. Env knobs let bench.py sweep them without code
-# flips:
+# still fits VMEM at T=1024/2048 — and the extensions were measured on the
+# real chip (round 5, paired same-session A/B at the bench operating
+# point, report/bench.jsonl; numerics probe scripts/onchip_flash_probe.py
+# fwd ≤3.0e-3 / grads ≤5.1e-3 rel vs XLA, deterministic):
+#   chunk 1024: fwd 3,589 → 4,495 w/s (+25%), train 911 → 1,072 (+18%)
+#               (single-k forward + fused backward, both engaged)
+#   chunk 2048: fwd 1,220 → 1,577 w/s (+29%), train 317 → 345 (+9%)
+#               (single-k forward; the fused backward's [T, T] f32 tiles
+#               were only probe-validated up to T=1024, so its default
+#               stays there)
+# Env knobs still override for sweeps:
 #   MSFA_FLASH_SINGLE_K_MAX  — engage the single-kblock forward while
 #                              padded_len <= this (whole key axis one tile)
 #   MSFA_FLASH_SINGLE_K_BQ   — query-block rows for that kernel
 #   MSFA_FLASH_FUSED_BWD_MAX — engage the fused backward while
 #                              padded_len <= this ([T, T] tiles in VMEM)
 def _single_k_max() -> int:
-    return _env_int("MSFA_FLASH_SINGLE_K_MAX", 512)
+    return _env_int("MSFA_FLASH_SINGLE_K_MAX", 2048)
 
 
 def _fused_bwd_max() -> int:
-    return _env_int("MSFA_FLASH_FUSED_BWD_MAX", 512)
+    return _env_int("MSFA_FLASH_FUSED_BWD_MAX", 1024)
 
 
 def _flash_kernel(

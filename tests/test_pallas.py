@@ -16,6 +16,30 @@ NAMES = ("imu_hand", "imu_chest", "imu_ankle", "heart_rate")
 B, H, C = 16, 32, 25
 
 
+@pytest.fixture(autouse=True)
+def _pin_block_size_routing(monkeypatch):
+    """The single-block flash specializations engage by default up to
+    T=2048 (round-5 measured flip), which would reroute every small-T
+    kernel test away from the multi-block kernels they were written to
+    cover. Pin the shape-routing thresholds back to pure block-size
+    routing here; TestFlashRoutingEnvKnobs sets its own values on top."""
+    monkeypatch.setenv("MSFA_FLASH_SINGLE_K_MAX", "0")
+    monkeypatch.setenv("MSFA_FLASH_FUSED_BWD_MAX", "0")
+
+
+def test_default_routing_thresholds(monkeypatch):
+    """The shipped defaults engage the single-block kernels through
+    T=2048 fwd / T=1024 bwd (on-chip A/B + numerics probe, round 5)."""
+    from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops import (
+        pallas_attention as pa,
+    )
+
+    monkeypatch.delenv("MSFA_FLASH_SINGLE_K_MAX", raising=False)
+    monkeypatch.delenv("MSFA_FLASH_FUSED_BWD_MAX", raising=False)
+    assert pa._single_k_max() == 2048
+    assert pa._fused_bwd_max() == 1024
+
+
 @pytest.fixture(scope="module")
 def hybrid_setup():
     model = HybridFusion(
