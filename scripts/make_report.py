@@ -293,6 +293,30 @@ def main(argv=None):
                 "",
             ]
 
+    c1024 = {
+        name: rows[name].get("test_accuracy")
+        for name in ("chunk1024_full", "chunk1024_full_s43", "chunk1024_full_s44")
+        if name in rows and rows[name].get("test_accuracy") is not None
+    }
+    if len(c1024) >= 2 and len(flagship_accs) >= 2:
+        import statistics
+
+        m1024 = statistics.mean(c1024.values())
+        s1024 = statistics.stdev(c1024.values())
+        m512 = statistics.mean(flagship_accs.values())
+        s512 = statistics.stdev(flagship_accs.values())
+        lines += [
+            "## Operating point: chunk 512 vs 1024 (both axes, seed-swept)",
+            "",
+            f"Accuracy at the flagship protocol: chunk 512 = {m512:.3f} ± "
+            f"{s512:.3f}, chunk 1024 = **{m1024:.3f} ± {s1024:.3f}** (seeds "
+            "42/43/44, full training length). Throughput at the shipping "
+            "kernel defaults (windows are 2× longer at 1024, so compare "
+            "sample-seconds/s = windows/s × chunk): see the bench table "
+            "rows at chunk 512 and 1024.",
+            "",
+        ]
+
     loso = load_json(Path(args.experiments) / "loso" / "summary.json")
     if loso and loso.get("jobs"):
         lines += [
