@@ -331,10 +331,16 @@ class _TransformerEncoderLayer(nn.Module):
                 if key_padding_mask is not None
                 else None
             )
+            # cast to the kernels' bf16 stream dtype BEFORE the
+            # [B, T, H, d] -> [B, H, T, d] transpose: the layout copy moves
+            # half the bytes and the custom-VJP residuals store bf16
+            # (profiled ~2.2 ms/step of reshape traffic at the flagship
+            # point). Off-TPU (interpret) keeps the f32 test path.
+            kd = jnp.bfloat16 if not interpret else q.dtype
             attended = flash_self_attention(
-                q.transpose(0, 2, 1, 3),
-                k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3),
+                q.astype(kd).transpose(0, 2, 1, 3),
+                k.astype(kd).transpose(0, 2, 1, 3),
+                v.astype(kd).transpose(0, 2, 1, 3),
                 lengths,
                 interpret=interpret,
             ).transpose(0, 2, 1, 3).reshape(batch, seq_len, self.hidden_dim)

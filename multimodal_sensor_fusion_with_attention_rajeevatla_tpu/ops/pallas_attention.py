@@ -651,7 +651,13 @@ def _flash_core_bwd(config, res, dout):
         qf, kf, vf, len_bh, out, lse, dout.astype(jnp.float32),
         block_q=block_q, block_k=block_k, sm_scale=sm_scale, interpret=interpret,
     )
-    return dq, dk, dv, jnp.zeros_like(len_bh)
+    # cotangent dtypes must match the primals (bf16 streams on TPU)
+    return (
+        dq.astype(qf.dtype),
+        dk.astype(kf.dtype),
+        dv.astype(vf.dtype),
+        jnp.zeros_like(len_bh),
+    )
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -699,9 +705,20 @@ def flash_self_attention(
     )
     len_bh = jax.lax.stop_gradient(len_bh)
 
-    qf = q.reshape(batch * heads, padded_len, d).astype(jnp.float32)
-    kf = k.reshape(batch * heads, padded_len, d).astype(jnp.float32)
-    vf = v.reshape(batch * heads, padded_len, d).astype(jnp.float32)
+    # On a real TPU the kernels consume bf16 streams, so KEEP a caller's
+    # bf16 q/k/v instead of round-tripping through f32: the caller can then
+    # cast BEFORE its [B, T, H, d] -> [B, H, T, d] transpose, halving that
+    # HBM copy (profiled at ~2.2 ms/step of pure reshape traffic at the
+    # flagship point) and halving the custom-VJP residual storage. The
+    # interpret (off-TPU test) path pins f32 as before.
+    cd = jnp.float32 if interpret else None
+    qf = q.reshape(batch * heads, padded_len, d)
+    kf = k.reshape(batch * heads, padded_len, d)
+    vf = v.reshape(batch * heads, padded_len, d)
+    if cd is not None or qf.dtype not in (jnp.float32, jnp.bfloat16):
+        qf = qf.astype(cd or jnp.float32)
+        kf = kf.astype(cd or jnp.float32)
+        vf = vf.astype(cd or jnp.float32)
 
     config = (block_q, block_k, float(sm_scale), bool(interpret))
     out = _flash_core(config, qf, kf, vf, len_bh)

@@ -40,7 +40,8 @@ def xla_attention(q, k, v, lengths):
     return jnp.einsum("bhqk,bhkd->bhqd", w, v)
 
 
-def probe(T: int, single_k: int, fused_bwd: int, B=4, H=4, d=64, seed=0):
+def probe(T: int, single_k: int, fused_bwd: int, B=4, H=4, d=64, seed=0,
+          in_dtype="float32"):
     os.environ["MSFA_FLASH_SINGLE_K_MAX"] = str(single_k)
     os.environ["MSFA_FLASH_FUSED_BWD_MAX"] = str(fused_bwd)
     from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_attention import (
@@ -48,9 +49,13 @@ def probe(T: int, single_k: int, fused_bwd: int, B=4, H=4, d=64, seed=0):
     )
 
     rng = np.random.default_rng(seed)
+    dt = jnp.bfloat16 if in_dtype == "bfloat16" else jnp.float32
+    # bf16 inputs exercise the bf16-stream path the encoders use (cast
+    # before the layout transpose; bf16 residuals; bf16 cotangents) — the
+    # XLA reference consumes the SAME quantized values upcast to f32
     mk = lambda: jnp.asarray(  # noqa: E731
         rng.standard_normal((B, H, T, d)) * 0.5, jnp.float32
-    )
+    ).astype(dt)
     q, k, v = mk(), mk(), mk()
     lengths = jnp.asarray([T, T, 3 * T // 4, T // 2], jnp.int32)
 
@@ -58,12 +63,15 @@ def probe(T: int, single_k: int, fused_bwd: int, B=4, H=4, d=64, seed=0):
         return jnp.sum(flash_self_attention(q, k, v, lengths) ** 2)
 
     def loss_xla(q, k, v):
+        q, k, v = (a.astype(jnp.float32) for a in (q, k, v))
         return jnp.sum(xla_attention(q, k, v, lengths) ** 2)
 
     out_f = jax.jit(lambda q, k, v: flash_self_attention(q, k, v, lengths))(
         q, k, v
     )
-    out_x = jax.jit(lambda q, k, v: xla_attention(q, k, v, lengths))(q, k, v)
+    out_x = jax.jit(lambda q, k, v: xla_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        lengths))(q, k, v)
     g_f = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
     g_x = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2)))(q, k, v)
 
@@ -78,6 +86,7 @@ def probe(T: int, single_k: int, fused_bwd: int, B=4, H=4, d=64, seed=0):
     )
     res = {
         "T": T,
+        "in_dtype": in_dtype,
         "single_k_max": single_k,
         "fused_bwd_max": fused_bwd,
         "fwd_rel": rel(out_f, out_x),
@@ -96,18 +105,22 @@ def probe(T: int, single_k: int, fused_bwd: int, B=4, H=4, d=64, seed=0):
 def main():
     cases = [
         # default routing (multi-block) as the control
-        (1024, 512, 512),
+        (1024, 512, 512, "float32"),
         # extended single-kblock fwd + fused bwd at T=1024
-        (1024, 1024, 1024),
+        (1024, 1024, 1024, "float32"),
         # extended fwd only at T=1024 (fused bwd may not fit VMEM)
-        (1024, 1024, 512),
-        (2048, 512, 512),
-        (2048, 2048, 512),
+        (1024, 1024, 512, "float32"),
+        (2048, 512, 512, "float32"),
+        (2048, 2048, 512, "float32"),
+        # bf16 input streams (the encoders' cast-before-transpose path):
+        # shipping routing at T=512-class and the extended T=1024 routing
+        (512, 2048, 1024, "bfloat16"),
+        (1024, 2048, 1024, "bfloat16"),
     ]
     ok = True
-    for T, sk, fb in cases:
+    for T, sk, fb, dt in cases:
         try:
-            r = probe(T, sk, fb)
+            r = probe(T, sk, fb, in_dtype=dt)
             # bf16 dot inputs: ~3e-3 band measured at T=512 round-4; allow 2e-2
             if r["fwd_rel"] > 2e-2 or r["grad_rel"] > 5e-2 or not r["finite"]:
                 ok = False
@@ -115,7 +128,7 @@ def main():
             print(
                 json.dumps(
                     {"T": T, "single_k_max": sk, "fused_bwd_max": fb,
-                     "error": str(exc)[:300]}
+                     "in_dtype": dt, "error": str(exc)[:300]}
                 ),
                 flush=True,
             )
