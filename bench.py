@@ -510,6 +510,11 @@ def inner_main():
             f"-fbwd{os.environ['MSFA_FLASH_FUSED_BWD_MAX']}"
             if os.environ.get("MSFA_FLASH_FUSED_BWD_MAX")
             else ""
+        )
+        + (
+            "-bf16exp"
+            if os.environ.get("MSFA_FLASH_BF16_EXP", "0") == "1"
+            else ""
         ),
         "chunk_size": CHUNK,
         "vs_baseline": round(tpu["windows_per_sec"] / baseline_wps, 2),
