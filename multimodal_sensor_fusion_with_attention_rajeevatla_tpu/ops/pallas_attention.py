@@ -79,6 +79,13 @@ def _fused_bwd_max() -> int:
     return _env_int("MSFA_FLASH_FUSED_BWD_MAX", 1024)
 
 
+def _bf16_exp() -> bool:
+    """Run the single-block kernels' exp/softmax chain in bf16 (the VPU-
+    bound part the round-4 roofline named as the remaining headroom).
+    Experimental env knob for on-chip A/B — f32 unless set."""
+    return _env_int("MSFA_FLASH_BF16_EXP", 0) == 1
+
+
 def _flash_kernel(
     q_ref,    # VMEM [1, block_q, d]
     k_ref,    # VMEM [1, block_k, d]
@@ -183,9 +190,18 @@ def _fwd_single_kblock_kernel(
 
     m = jnp.max(scores, axis=1, keepdims=True)  # [block_q, 1]
     # fully-masked rows: m == NEG_INF; clamp the exp argument, zero p
-    p = jnp.exp(scores - jnp.maximum(m, NEG_INF / 2))
-    p = jnp.where(col_ids < valid_len, p, 0.0)
-    l = jnp.sum(p, axis=1, keepdims=True)
+    arg = scores - jnp.maximum(m, NEG_INF / 2)
+    if cast_bf16 and _bf16_exp():
+        # bf16 exp chain: halves the VPU element traffic of the softmax
+        # and feeds the dot directly (no separate p cast pass). The row
+        # sum still accumulates in f32.
+        p = jnp.exp(arg.astype(jnp.bfloat16))
+        p = jnp.where(col_ids < valid_len, p, jnp.bfloat16(0))
+        l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+    else:
+        p = jnp.exp(arg)
+        p = jnp.where(col_ids < valid_len, p, 0.0)
+        l = jnp.sum(p, axis=1, keepdims=True)
 
     acc = jax.lax.dot_general(
         p.astype(cd), v_ref[0].astype(cd), (((1,), (0,)), ((), ())),
@@ -463,8 +479,16 @@ def _bwd_fused_kernel(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * sm_scale  # [T, T]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    p = jnp.exp(scores - jnp.maximum(lse, NEG_INF / 2))
-    p = jnp.where((col_ids < valid_len) & (lse > NEG_INF / 2), p, 0.0)
+    arg = scores - jnp.maximum(lse, NEG_INF / 2)
+    keep = (col_ids < valid_len) & (lse > NEG_INF / 2)
+    bf16_chain = cast_bf16 and _bf16_exp()
+    if bf16_chain:
+        # bf16 exp/ds chain: the [T, T] elementwise softmax-Jacobian work
+        # (exp, select, p*(dp-delta)*scale) runs on bf16 vectors and feeds
+        # the three dots directly with no separate cast passes
+        p = jnp.where(keep, jnp.exp(arg.astype(jnp.bfloat16)), jnp.bfloat16(0))
+    else:
+        p = jnp.where(keep, jnp.exp(arg), 0.0)
 
     doc = do.astype(cd)
     # dV = p^T dO
@@ -478,7 +502,10 @@ def _bwd_fused_kernel(
         doc, v_ref[0].astype(cd), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    ds = (p * (dp - delta) * sm_scale).astype(cd)
+    if bf16_chain:
+        ds = p * (((dp - delta) * sm_scale).astype(jnp.bfloat16))
+    else:
+        ds = (p * (dp - delta) * sm_scale).astype(cd)
     # dK = ds^T q ; dQ = ds k
     dk_ref[0] = jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
