@@ -327,17 +327,24 @@ def main(argv=None):
             "defensible protocol on the 27-shard subset (the 89-window "
             "single split carries ~±6 pt seed noise, report/seed_variance).",
             "",
-            "| job | mean ± std (all folds) | mean (multi-class folds) | folds |",
-            "|---|---|---|---|",
+            "| job | mean ± std (all folds) | mean (multi-class folds) | mean ECE (multi-class) | folds |",
+            "|---|---|---|---|---|",
         ]
         for job, info in loso["jobs"].items():
             multi = info.get("mean_accuracy_multiclass_folds")
             mstd = info.get("std_accuracy_multiclass_folds", 0.0)
+            n_multi = info.get("num_multiclass_folds")
+            eces = [
+                r["ece"] for s, r in info["per_fold"].items()
+                if r.get("ece") is not None
+                and (n_multi is None or s != "subject_109")
+            ]
+            mean_ece = sum(eces) / len(eces) if eces else None
             lines.append(
                 f"| {job} | {fmt(info['mean_accuracy'])} ± "
                 f"{fmt(info['std_accuracy'])} | "
                 + (f"{fmt(multi)} ± {fmt(mstd)}" if multi is not None else "—")
-                + f" | {info['num_folds']} |"
+                + f" | {fmt(mean_ece)} | {info['num_folds']} |"
             )
         lines.append("")
         per_fold = next(iter(loso["jobs"].values()))["per_fold"]
