@@ -501,6 +501,13 @@ def inner_main():
             else ""
         )
         + ("-nofmlp" if os.environ.get("BENCH_FUSED_MLP", "") == "0" else "")
+        # "auto" resolves to the HW-PRNG generator on TPU (the shipping
+        # default, no suffix); pinning threefry is the off-default A/B leg
+        + (
+            "-xlarng"
+            if os.environ.get("BENCH_DROPOUT_RNG", "") == "xla"
+            else ""
+        )
         + (
             f"-skmax{os.environ['MSFA_FLASH_SINGLE_K_MAX']}"
             if os.environ.get("MSFA_FLASH_SINGLE_K_MAX")
