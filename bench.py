@@ -522,6 +522,18 @@ def inner_main():
             "-bf16exp"
             if os.environ.get("MSFA_FLASH_BF16_EXP", "0") == "1"
             else ""
+        )
+        # packed transpose-free attention is the default (no suffix); the
+        # A/B control pins it off
+        + (
+            "-nopacked"
+            if os.environ.get("MSFA_FLASH_PACKED", "1") == "0"
+            else ""
+        )
+        + (
+            f"-pkmax{os.environ['MSFA_FLASH_PACKED_MAX']}"
+            if os.environ.get("MSFA_FLASH_PACKED_MAX")
+            else ""
         ),
         "chunk_size": CHUNK,
         "vs_baseline": round(tpu["windows_per_sec"] / baseline_wps, 2),

@@ -316,9 +316,12 @@ class _TransformerEncoderLayer(nn.Module):
         qkv = (_gather(x).astype(cd) @ w_qkv + b_qkv).reshape(
             batch, seq_len, 3, self.num_heads, head_dim
         )
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         if self.use_flash:
-            from ..ops.pallas_attention import flash_self_attention
+            from ..ops.pallas_attention import (
+                flash_mha_packed,
+                flash_self_attention,
+                packed_route_ok,
+            )
 
             # Training runs through the Pallas forward+backward kernel pair
             # (custom VJP) — the O(T^2) score tensor never materialises in
@@ -331,21 +334,37 @@ class _TransformerEncoderLayer(nn.Module):
                 if key_padding_mask is not None
                 else None
             )
-            # cast to the kernels' bf16 stream dtype BEFORE the
-            # [B, T, H, d] -> [B, H, T, d] transpose: the layout copy moves
-            # half the bytes and the custom-VJP residuals store bf16
-            # (profiled ~2.2 ms/step of reshape traffic at the flagship
-            # point). Off-TPU (interpret) keeps the f32 test path.
-            kd = jnp.bfloat16 if not interpret else q.dtype
-            attended = flash_self_attention(
-                q.astype(kd).transpose(0, 2, 1, 3),
-                k.astype(kd).transpose(0, 2, 1, 3),
-                v.astype(kd).transpose(0, 2, 1, 3),
-                lengths,
-                interpret=interpret,
-            ).transpose(0, 2, 1, 3).reshape(batch, seq_len, self.hidden_dim)
-            attended = attended.astype(x.dtype)
+            if packed_route_ok(seq_len, self.num_heads, head_dim):
+                # transpose-free single-block path: the kernel consumes the
+                # projection's packed [B, T, 3*H*d] output directly (heads
+                # sliced in-kernel), casts bf16 in-kernel, and returns the
+                # packed dqkv cotangent — no [B,H,T,d] relayout, no
+                # standalone converts on either side (the round-5 HEAD
+                # profile put ~25% of train-step device time in that glue)
+                attended = flash_mha_packed(
+                    qkv.reshape(batch, seq_len, 3 * self.hidden_dim),
+                    lengths,
+                    num_heads=self.num_heads,
+                    interpret=interpret,
+                ).astype(x.dtype)
+            else:
+                q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+                # cast to the kernels' bf16 stream dtype BEFORE the
+                # [B, T, H, d] -> [B, H, T, d] transpose: the layout copy
+                # moves half the bytes and the custom-VJP residuals store
+                # bf16 (profiled ~2.2 ms/step of reshape traffic at the
+                # flagship point). Off-TPU (interpret) keeps f32.
+                kd = jnp.bfloat16 if not interpret else q.dtype
+                attended = flash_self_attention(
+                    q.astype(kd).transpose(0, 2, 1, 3),
+                    k.astype(kd).transpose(0, 2, 1, 3),
+                    v.astype(kd).transpose(0, 2, 1, 3),
+                    lengths,
+                    interpret=interpret,
+                ).transpose(0, 2, 1, 3).reshape(batch, seq_len, self.hidden_dim)
+                attended = attended.astype(x.dtype)
         else:
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * head_dim**-0.5
             mask = None
             if key_padding_mask is not None:

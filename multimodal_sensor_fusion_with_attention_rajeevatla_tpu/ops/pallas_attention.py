@@ -753,3 +753,312 @@ def flash_self_attention(
     if pad:
         out = out[:, :, :seq_len]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout (transpose-free) single-block path
+#
+# The [B, T, H, d] -> [B, H, T, d] relayout feeding the kernels above is pure
+# HBM glue: at the flagship point the round-5 HEAD profile attributes ~25% of
+# train-step device time to the convert/transpose/slice ops AROUND the
+# attention custom-calls (standalone f32->bf16 converts ~90us each, reshape
+# relayouts, dq/dk/dv converts + transposes on the way back), while the
+# kernels themselves run near their compute bounds. These kernels instead
+# consume the qkv projection's NATURAL output layout — one [B, T, 3*H*d]
+# array, heads packed along the minor dim — and loop over heads inside the
+# kernel with static column slices. Nothing is transposed, converted, or
+# concatenated outside: bf16 casting happens in-kernel (each element visited
+# once — grid is (B,)), `delta = rowsum(dO*out)` moves in-kernel, and the
+# backward emits the packed dqkv cotangent directly. The per-head dot shapes
+# ([T, d] operands, [T, T] score tile) are identical to the proven
+# single-block kernels above; only the data movement changes. Mosaic's
+# last-two-dims block rule rejected the (1, bq, 1, d) 4-D block probe
+# (round 4); the [T, 3*H*d] block satisfies it.
+# ---------------------------------------------------------------------------
+
+
+def _packed_max() -> int:
+    return _env_int("MSFA_FLASH_PACKED_MAX", 512)
+
+
+def packed_route_ok(seq_len: int, num_heads: int, head_dim: int) -> bool:
+    """True when the packed transpose-free kernels should take this shape."""
+    if _env_int("MSFA_FLASH_PACKED", 1) != 1:
+        return False
+    # single-block kernels: the whole (padded) sequence is one tile
+    padded = ((seq_len + 7) // 8) * 8
+    return padded <= _packed_max()
+
+
+def _packed_fwd_kernel(
+    qkv_ref,  # VMEM [1, T, 3*H*d]
+    len_ref,  # VMEM [B, 1] f32 valid key length per batch row
+    o_ref,    # VMEM out [1, T, H*d]
+    lse_ref,  # VMEM out [1, T, H]
+    *,
+    num_heads: int,
+    head_dim: int,
+    sm_scale: float,
+    cast_bf16: bool,
+):
+    b = pl.program_id(0)
+    cd = jnp.bfloat16 if cast_bf16 else jnp.float32
+    feat = num_heads * head_dim
+
+    tile = qkv_ref[0]  # [T, 3F] — one load, cast once per element
+    seq = tile.shape[0]
+    # fold sm_scale into q on the [T, F] operand (exact for power-of-two
+    # scales, e.g. d=64) instead of multiplying every [T, T] score tile
+    qs = (tile[:, :feat] * sm_scale).astype(cd)
+    kt = tile[:, feat : 2 * feat].astype(cd)
+    vt = tile[:, 2 * feat :].astype(cd)
+
+    valid_len = len_ref[b, 0].astype(jnp.int32)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (seq, seq), 1)
+    colmask = col_ids < valid_len
+
+    outs, lses = [], []
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        scores = jax.lax.dot_general(
+            qs[:, sl], kt[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [T, T]
+        scores = jnp.where(colmask, scores, NEG_INF)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        arg = scores - jnp.maximum(m, NEG_INF / 2)
+        p = jnp.exp(arg)
+        p = jnp.where(colmask, p, 0.0)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        acc = jax.lax.dot_general(
+            p.astype(cd), vt[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(jnp.where(l > 0, acc / jnp.where(l > 0, l, 1.0), 0.0))
+        lses.append(
+            jnp.where(l > 0, m + jnp.log(jnp.where(l > 0, l, 1.0)), NEG_INF)
+        )
+    o_ref[0] = jnp.concatenate(outs, axis=1)
+    lse_ref[0] = jnp.concatenate(lses, axis=1)
+
+
+def _packed_bwd_kernel(
+    qkv_ref,  # VMEM [1, T, 3*H*d]
+    out_ref,  # VMEM [1, T, H*d]
+    do_ref,   # VMEM [1, T, H*d]
+    lse_ref,  # VMEM [1, T, H]
+    len_ref,  # VMEM [B, 1] f32
+    dqkv_ref,  # VMEM out [1, T, 3*H*d]
+    *,
+    num_heads: int,
+    head_dim: int,
+    sm_scale: float,
+    cast_bf16: bool,
+):
+    b = pl.program_id(0)
+    cd = jnp.bfloat16 if cast_bf16 else jnp.float32
+    feat = num_heads * head_dim
+
+    tile = qkv_ref[0]  # [T, 3F]
+    seq = tile.shape[0]
+    qs = (tile[:, :feat] * sm_scale).astype(cd)  # scale folded, as in fwd
+    kt = tile[:, feat : 2 * feat].astype(cd)
+    vt = tile[:, 2 * feat :].astype(cd)
+    out = out_ref[0]          # [T, F] f32
+    do = do_ref[0]            # [T, F] f32
+    doc = do.astype(cd)
+    lse_all = lse_ref[0]      # [T, H] f32
+
+    valid_len = len_ref[b, 0].astype(jnp.int32)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (seq, seq), 1)
+
+    dqs, dks, dvs = [], [], []
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        lse = lse_all[:, h : h + 1]  # [T, 1]
+        scores = jax.lax.dot_general(
+            qs[:, sl], kt[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [T, T] — already sm_scale-scaled via qs
+        keep = (col_ids < valid_len) & (lse > NEG_INF / 2)
+        p = jnp.where(keep, jnp.exp(scores - jnp.maximum(lse, NEG_INF / 2)), 0.0)
+        # softmax-Jacobian row term, in-kernel (the transpose path computes
+        # it as a separate XLA reduction over the [BH, T, d] layout)
+        delta = jnp.sum(do[:, sl] * out[:, sl], axis=1, keepdims=True)  # [T,1]
+        pb = p.astype(cd)
+        dvs.append(
+            jax.lax.dot_general(
+                pb, doc[:, sl], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        dp = jax.lax.dot_general(
+            doc[:, sl], vt[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # ds0 = p * (dp - delta): sm_scale is NOT applied to the [T, T]
+        # tile — dk uses the pre-scaled qs (exact), dq post-scales on [T, d]
+        ds0 = (p * (dp - delta)).astype(cd)
+        dks.append(
+            jax.lax.dot_general(
+                ds0, qs[:, sl], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        dqs.append(
+            jax.lax.dot_general(
+                ds0, kt[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * sm_scale
+        )
+    dqkv_ref[0] = jnp.concatenate(dqs + dks + dvs, axis=1).astype(dqkv_ref.dtype)
+
+
+def _packed_forward(qkv, len_b, *, num_heads, head_dim, sm_scale, interpret):
+    batch, padded_len, three_f = qkv.shape
+    feat = three_f // 3
+    full = pl.BlockSpec(
+        (1, padded_len, three_f), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, padded_len, feat), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    lse_spec = pl.BlockSpec(
+        (1, padded_len, num_heads), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _packed_fwd_kernel,
+            num_heads=num_heads, head_dim=head_dim,
+            sm_scale=sm_scale, cast_bf16=not interpret,
+        ),
+        grid=(batch,),
+        in_specs=[full, pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(out_spec, lse_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, padded_len, feat), jnp.float32),
+            jax.ShapeDtypeStruct((batch, padded_len, num_heads), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * batch * num_heads * padded_len * padded_len * head_dim,
+            bytes_accessed=qkv.size * 4 + batch * padded_len * feat * 4,
+            transcendentals=batch * num_heads * padded_len * padded_len,
+        ),
+    )(qkv, len_b)
+    return out, lse
+
+
+def _packed_backward(
+    qkv, len_b, out, lse, dout, *, num_heads, head_dim, sm_scale, interpret
+):
+    batch, padded_len, three_f = qkv.shape
+    feat = three_f // 3
+    full = pl.BlockSpec(
+        (1, padded_len, three_f), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    f_spec = pl.BlockSpec(
+        (1, padded_len, feat), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    lse_spec = pl.BlockSpec(
+        (1, padded_len, num_heads), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    dqkv = pl.pallas_call(
+        functools.partial(
+            _packed_bwd_kernel,
+            num_heads=num_heads, head_dim=head_dim,
+            sm_scale=sm_scale, cast_bf16=not interpret,
+        ),
+        grid=(batch,),
+        in_specs=[
+            full, f_spec, f_spec, lse_spec,
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=full,
+        out_shape=jax.ShapeDtypeStruct((batch, padded_len, three_f), qkv.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * batch * num_heads * padded_len * padded_len * head_dim,
+            bytes_accessed=qkv.size * 8,
+            transcendentals=batch * num_heads * padded_len * padded_len,
+        ),
+    )(qkv, out, dout, lse, len_b)
+    return dqkv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _packed_core(config, qkv, len_b):
+    num_heads, head_dim, sm_scale, interpret = config
+    out, _lse = _packed_forward(
+        qkv, len_b,
+        num_heads=num_heads, head_dim=head_dim,
+        sm_scale=sm_scale, interpret=interpret,
+    )
+    return out
+
+
+def _packed_core_fwd(config, qkv, len_b):
+    num_heads, head_dim, sm_scale, interpret = config
+    out, lse = _packed_forward(
+        qkv, len_b,
+        num_heads=num_heads, head_dim=head_dim,
+        sm_scale=sm_scale, interpret=interpret,
+    )
+    return out, (qkv, len_b, out, lse)
+
+
+def _packed_core_bwd(config, res, dout):
+    num_heads, head_dim, sm_scale, interpret = config
+    qkv, len_b, out, lse = res
+    dqkv = _packed_backward(
+        qkv, len_b, out, lse, dout.astype(jnp.float32),
+        num_heads=num_heads, head_dim=head_dim,
+        sm_scale=sm_scale, interpret=interpret,
+    )
+    return dqkv, jnp.zeros_like(len_b)
+
+
+_packed_core.defvjp(_packed_core_fwd, _packed_core_bwd)
+
+
+def flash_mha_packed(
+    qkv: jax.Array,  # [B, T, 3*H*d] — q | k | v packed along the minor dim
+    lengths: jax.Array | None = None,  # [B] valid timesteps (keys)
+    *,
+    num_heads: int,
+    sm_scale: float | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Transpose-free single-block attention on the packed qkv layout.
+
+    Consumes the qkv projection's natural ``[B, T, 3*H*d]`` output and
+    returns ``[B, T, H*d]`` — no ``[B, H, T, d]`` relayout, no standalone
+    f32->bf16 converts (casting happens in-kernel, once per element), and
+    the backward emits the packed ``dqkv`` cotangent directly. Same math
+    and masking contract as ``flash_self_attention`` (column masking from
+    per-row lengths; fully-masked rows -> exact zeros, zero grads).
+    Differentiable via custom VJP. Route with ``packed_route_ok``.
+    """
+    batch, seq_len, three_f = qkv.shape
+    feat = three_f // 3
+    head_dim = feat // num_heads
+    if sm_scale is None:
+        sm_scale = head_dim**-0.5
+    pad = (-seq_len) % 8  # sublane multiple; padded cols masked via lengths
+    if pad:
+        qkv = jnp.pad(qkv, ((0, 0), (0, pad), (0, 0)))
+    if lengths is None:
+        lengths = jnp.full((batch,), seq_len, jnp.int32)
+    len_b = jax.lax.stop_gradient(
+        lengths.reshape(batch, 1).astype(jnp.float32)
+    )
+    if qkv.dtype not in (jnp.float32, jnp.bfloat16) or (
+        interpret and qkv.dtype != jnp.float32
+    ):
+        qkv = qkv.astype(jnp.float32)
+    config = (int(num_heads), int(head_dim), float(sm_scale), bool(interpret))
+    out = _packed_core(config, qkv, len_b)
+    if pad:
+        out = out[:, :seq_len]
+    return out

@@ -763,3 +763,159 @@ class TestFlashRoutingEnvKnobs:
             np.testing.assert_allclose(
                 np.asarray(gm), np.asarray(gs), rtol=1e-5, atol=1e-6
             )
+
+
+class TestPackedFlash:
+    """Transpose-free packed-qkv kernels vs the XLA attention oracle."""
+
+    @staticmethod
+    def _xla_attention(q, k, v, lengths=None):
+        return TestFlashAttention._xla_attention(q, k, v, lengths)
+
+    def _rand_packed(self, B=2, H=2, T=64, d=16, seed=0):
+        """Returns ([B,H,T,d] q/k/v for the oracle, packed [B,T,3*H*d])."""
+        rng = np.random.default_rng(seed)
+        mk = lambda: jnp.asarray(rng.standard_normal((B, H, T, d)), jnp.float32)  # noqa: E731
+        q, k, v = mk(), mk(), mk()
+        pack = lambda a: a.transpose(0, 2, 1, 3).reshape(a.shape[0], T, H * d)  # noqa: E731
+        qkv = jnp.concatenate([pack(q), pack(k), pack(v)], axis=-1)
+        return (q, k, v), qkv
+
+    @staticmethod
+    def _unpack(out, H, d):
+        B, T, _ = out.shape
+        return out.reshape(B, T, H, d).transpose(0, 2, 1, 3)
+
+    def test_matches_xla_full(self):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_attention import (
+            flash_mha_packed,
+        )
+
+        (q, k, v), qkv = self._rand_packed()
+        got = flash_mha_packed(qkv, num_heads=2, interpret=True)
+        want = self._xla_attention(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(self._unpack(got, 2, 16)), np.asarray(want),
+            rtol=2e-5, atol=2e-6,
+        )
+
+    def test_matches_xla_with_lengths_and_zero_rows(self):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_attention import (
+            flash_mha_packed,
+        )
+
+        (q, k, v), qkv = self._rand_packed(B=3, seed=1)
+        lengths = jnp.asarray([40, 0, 64], jnp.int32)
+        got = flash_mha_packed(qkv, lengths, num_heads=2, interpret=True)
+        want = self._xla_attention(q, k, v, lengths)
+        np.testing.assert_allclose(
+            np.asarray(self._unpack(got, 2, 16)), np.asarray(want),
+            rtol=2e-5, atol=2e-6,
+        )
+        # fully-masked batch row -> exact zeros (masked_softmax contract)
+        assert float(jnp.abs(got[1]).max()) == 0.0
+
+    def test_nondivisible_seq_len(self):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_attention import (
+            flash_mha_packed,
+        )
+
+        (q, k, v), qkv = self._rand_packed(T=50, seed=3)
+        got = flash_mha_packed(qkv, num_heads=2, interpret=True)
+        want = self._xla_attention(q, k, v)
+        assert got.shape == (2, 50, 32)
+        np.testing.assert_allclose(
+            np.asarray(self._unpack(got, 2, 16)), np.asarray(want),
+            rtol=2e-5, atol=2e-6,
+        )
+
+    def test_gradients_match_xla(self):
+        """Packed backward (custom VJP, dqkv in one kernel) vs jax.grad of
+        the XLA path, including a zero-length row (zero grads, no NaN)."""
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops.pallas_attention import (
+            flash_mha_packed,
+        )
+
+        (q, k, v), qkv = self._rand_packed(B=3, seed=4)
+        lengths = jnp.asarray([48, 64, 0], jnp.int32)
+        cot = jnp.asarray(
+            np.random.default_rng(9).standard_normal((3, 64, 32)), jnp.float32
+        )
+
+        def loss_packed(qkv):
+            out = flash_mha_packed(qkv, lengths, num_heads=2, interpret=True)
+            return jnp.sum(out * cot)
+
+        def loss_xla(qkv):
+            B, T, HD3 = qkv.shape
+            split = lambda i: qkv[..., i * 32 : (i + 1) * 32].reshape(  # noqa: E731
+                B, T, 2, 16
+            ).transpose(0, 2, 1, 3)
+            out = self._xla_attention(split(0), split(1), split(2), lengths)
+            return jnp.sum(out.transpose(0, 2, 1, 3).reshape(B, T, 32) * cot)
+
+        got = jax.grad(loss_packed)(qkv)
+        want = jax.grad(loss_xla)(qkv)
+        assert bool(jnp.all(jnp.isfinite(got)))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+        )
+        # zero-length batch row contributes exactly zero gradient
+        assert float(jnp.abs(got[2]).max()) == 0.0
+
+    def test_routing_defaults_and_env(self, monkeypatch):
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.ops import (
+            pallas_attention as pa,
+        )
+
+        monkeypatch.delenv("MSFA_FLASH_PACKED", raising=False)
+        monkeypatch.delenv("MSFA_FLASH_PACKED_MAX", raising=False)
+        assert pa.packed_route_ok(512, 4, 64)
+        assert not pa.packed_route_ok(1024, 4, 64)
+        monkeypatch.setenv("MSFA_FLASH_PACKED_MAX", "1024")
+        assert pa.packed_route_ok(1024, 4, 64)
+        monkeypatch.setenv("MSFA_FLASH_PACKED", "0")
+        assert not pa.packed_route_ok(512, 4, 64)
+
+    def test_encoder_packed_matches_transpose_path(self, monkeypatch):
+        """End-to-end transformer encoder: the packed routing must be
+        numerically identical (f32 interpret) to the transpose path it
+        replaces — forward AND parameter gradients."""
+        from multimodal_sensor_fusion_with_attention_rajeevatla_tpu.models.encoders import (
+            SequenceEncoder,
+        )
+
+        enc = SequenceEncoder(
+            hidden_dim=32, output_dim=8, num_layers=1,
+            encoder_type="transformer", dropout=0.0,
+            flash_attention=True, fused_mlp=False, fused_mlp_ln=False,
+        )
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 24, 4)), jnp.float32
+        )
+        variables = enc.init(jax.random.PRNGKey(0), x)
+
+        def run():
+            def loss(params):
+                out = enc.apply({"params": params}, x, train=False)
+                return jnp.sum(out**2), out
+
+            (val, out), g = jax.value_and_grad(loss, has_aux=True)(
+                variables["params"]
+            )
+            return out, g
+
+        monkeypatch.setenv("MSFA_FLASH_PACKED", "1")
+        monkeypatch.setenv("MSFA_FLASH_PACKED_MAX", "512")
+        out_packed, g_packed = run()
+        monkeypatch.setenv("MSFA_FLASH_PACKED", "0")
+        out_t, g_t = run()
+        np.testing.assert_allclose(
+            np.asarray(out_packed), np.asarray(out_t), rtol=1e-5, atol=1e-6
+        )
+        flat_p = jax.tree_util.tree_leaves(g_packed)
+        flat_t = jax.tree_util.tree_leaves(g_t)
+        for gp, gt in zip(flat_p, flat_t):
+            np.testing.assert_allclose(
+                np.asarray(gp), np.asarray(gt), rtol=2e-4, atol=2e-5
+            )
